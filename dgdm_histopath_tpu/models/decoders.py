@@ -1,0 +1,247 @@
+"""Prediction heads: classification, regression, survival, multi-task.
+
+Parity surface: reference ``dgdm_histopath/models/decoders.py`` —
+``ClassificationHead`` (:15-147) with class weights + label smoothing,
+``RegressionHead`` (:150-320) with optional heteroscedastic uncertainty and
+mse/mae/huber/gaussian-NLL losses, ``SurvivalHead`` (:323-496) with Cox
+partial likelihood and discrete-time survival, ``MultiTaskHead`` (:499-656)
+with Kendall uncertainty weighting.
+
+TPU-native: all losses are fully batched/vectorized (the reference's
+per-sample Python loop in discrete-time survival, ``:459-496``, becomes a
+cumulative-product formulation); losses compute in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def _mlp_trunk(hidden_dims: Sequence[int], dropout: float, dtype, param_dtype,
+               deterministic: bool, x: jnp.ndarray, prefix: str = "hidden") -> jnp.ndarray:
+    h = x
+    for i, dim in enumerate(hidden_dims):
+        h = nn.Dense(dim, name=f"{prefix}{i}", dtype=dtype, param_dtype=param_dtype)(h)
+        h = nn.LayerNorm(dtype=dtype, param_dtype=param_dtype, name=f"{prefix}{i}_norm")(h)
+        h = nn.gelu(h)
+        h = nn.Dropout(dropout)(h, deterministic=deterministic)
+    return h
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,           # [B, C]
+    labels: jnp.ndarray,           # [B] int
+    class_weights: Optional[jnp.ndarray] = None,
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes)
+    if label_smoothing > 0.0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    per_sample = -jnp.sum(onehot * log_probs, axis=-1)
+    if class_weights is not None:
+        w = jnp.take(class_weights.astype(jnp.float32), labels)
+        return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-8)
+    return jnp.mean(per_sample)
+
+
+class ClassificationHead(nn.Module):
+    """MLP classifier head (reference :15-147)."""
+
+    num_classes: int
+    hidden_dims: Sequence[int] = (128,)
+    dropout: float = 0.1
+    class_weights: Optional[Sequence[float]] = None
+    label_smoothing: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = _mlp_trunk(self.hidden_dims, self.dropout, self.dtype, self.param_dtype,
+                       deterministic, x)
+        return nn.Dense(self.num_classes, name="logits", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(h)
+
+    def loss(self, logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        cw = None if self.class_weights is None else jnp.asarray(self.class_weights)
+        return cross_entropy_loss(logits, labels, cw, self.label_smoothing)
+
+    @staticmethod
+    def predict(logits: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return {
+            "probabilities": probs,
+            "predictions": jnp.argmax(probs, axis=-1),
+            "confidence": jnp.max(probs, axis=-1),
+        }
+
+
+class RegressionHead(nn.Module):
+    """MLP regression head with optional heteroscedastic uncertainty
+    (mean + log-variance outputs, reference :226-302)."""
+
+    num_targets: int = 1
+    hidden_dims: Sequence[int] = (128,)
+    dropout: float = 0.1
+    loss_type: str = "mse"  # mse | mae | huber | gaussian_nll
+    predict_uncertainty: bool = False
+    huber_delta: float = 1.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        h = _mlp_trunk(self.hidden_dims, self.dropout, self.dtype, self.param_dtype,
+                       deterministic, x)
+        mean = nn.Dense(self.num_targets, name="mean", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(h)
+        out = {"mean": mean}
+        if self.predict_uncertainty:
+            out["log_var"] = nn.Dense(self.num_targets, name="log_var", dtype=self.dtype,
+                                      param_dtype=self.param_dtype)(h)
+        return out
+
+    def loss(self, outputs: Dict[str, jnp.ndarray], targets: jnp.ndarray) -> jnp.ndarray:
+        pred = outputs["mean"].astype(jnp.float32)
+        targets = targets.astype(jnp.float32).reshape(pred.shape)
+        err = pred - targets
+        if self.loss_type == "mse":
+            return jnp.mean(err ** 2)
+        if self.loss_type == "mae":
+            return jnp.mean(jnp.abs(err))
+        if self.loss_type == "huber":
+            d = self.huber_delta
+            abs_err = jnp.abs(err)
+            quad = jnp.minimum(abs_err, d)
+            return jnp.mean(0.5 * quad ** 2 + d * (abs_err - quad))
+        if self.loss_type == "gaussian_nll":
+            log_var = outputs["log_var"].astype(jnp.float32)
+            return jnp.mean(0.5 * (log_var + err ** 2 * jnp.exp(-log_var)))
+        raise ValueError(f"unknown loss_type {self.loss_type!r}")
+
+
+def cox_partial_likelihood(risk: jnp.ndarray, time: jnp.ndarray,
+                           event: jnp.ndarray) -> jnp.ndarray:
+    """Breslow-approximation Cox partial likelihood, fully vectorized.
+
+    risk [B] log-hazards; time [B]; event [B] in {0,1}. Mirrors reference
+    ``models/decoders.py:433-457`` without the O(B²) pair loop: the risk set
+    of sample i is {j : time_j >= time_i}, realized as a [B, B] mask.
+    """
+    risk = risk.astype(jnp.float32)
+    at_risk = (time[None, :] >= time[:, None])           # [B, B]
+    neg = jnp.finfo(jnp.float32).min
+    masked = jnp.where(at_risk, risk[None, :], neg)
+    log_risk_set = jax.nn.logsumexp(masked, axis=-1)
+    per_event = (risk - log_risk_set) * event.astype(jnp.float32)
+    return -jnp.sum(per_event) / jnp.maximum(jnp.sum(event), 1.0)
+
+
+def discrete_survival_loss(hazard_logits: jnp.ndarray, interval: jnp.ndarray,
+                           event: jnp.ndarray) -> jnp.ndarray:
+    """Discrete-time survival NLL, batched (replaces reference's per-sample
+    loop at :459-496). hazard_logits [B, T]; interval [B] int in [0, T);
+    event [B] in {0,1}."""
+    T = hazard_logits.shape[-1]
+    log_h = jax.nn.log_sigmoid(hazard_logits.astype(jnp.float32))       # log h_t
+    log_1mh = jax.nn.log_sigmoid(-hazard_logits.astype(jnp.float32))    # log (1-h_t)
+    t_idx = jnp.arange(T)[None, :]
+    before = (t_idx < interval[:, None]).astype(jnp.float32)
+    survive_term = jnp.sum(log_1mh * before, axis=-1)
+    at = jnp.take_along_axis(log_h, interval[:, None], axis=-1)[:, 0]
+    at_1mh = jnp.take_along_axis(log_1mh, interval[:, None], axis=-1)[:, 0]
+    ev = event.astype(jnp.float32)
+    loglik = survive_term + ev * at + (1.0 - ev) * at_1mh
+    return -jnp.mean(loglik)
+
+
+class SurvivalHead(nn.Module):
+    """Survival analysis head: Cox log-hazard or discrete-time hazards
+    (reference :323-496)."""
+
+    mode: str = "cox"  # cox | discrete
+    num_intervals: int = 10
+    hidden_dims: Sequence[int] = (128,)
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        h = _mlp_trunk(self.hidden_dims, self.dropout, self.dtype, self.param_dtype,
+                       deterministic, x)
+        if self.mode == "cox":
+            risk = nn.Dense(1, name="risk", dtype=self.dtype,
+                            param_dtype=self.param_dtype)(h)[..., 0]
+            return {"risk": risk}
+        hazards = nn.Dense(self.num_intervals, name="hazards", dtype=self.dtype,
+                           param_dtype=self.param_dtype)(h)
+        surv = jnp.cumprod(jax.nn.sigmoid(-hazards.astype(jnp.float32)), axis=-1)
+        return {"hazard_logits": hazards, "survival": surv}
+
+    def loss(self, outputs: Dict[str, jnp.ndarray], time: jnp.ndarray,
+             event: jnp.ndarray) -> jnp.ndarray:
+        if self.mode == "cox":
+            return cox_partial_likelihood(outputs["risk"], time, event)
+        return discrete_survival_loss(outputs["hazard_logits"],
+                                      time.astype(jnp.int32), event)
+
+
+class MultiTaskHead(nn.Module):
+    """Shared trunk + per-task heads + Kendall uncertainty weighting
+    (reference :499-656; log_vars at :574-576, weighting at :631-653)."""
+
+    task_configs: Dict[str, dict]  # name -> {"type": "classification"|"regression", ...}
+    trunk_dims: Sequence[int] = (256,)
+    dropout: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.trunk_layers = [
+            nn.Dense(d, name=f"trunk{i}", dtype=self.dtype, param_dtype=self.param_dtype)
+            for i, d in enumerate(self.trunk_dims)
+        ]
+        heads = {}
+        for name, cfg in self.task_configs.items():
+            kind = cfg.get("type", "classification")
+            if kind == "classification":
+                heads[name] = ClassificationHead(
+                    num_classes=cfg.get("num_classes", 2),
+                    dropout=self.dropout, name=f"head_{name}",
+                    dtype=self.dtype, param_dtype=self.param_dtype)
+            elif kind == "regression":
+                heads[name] = RegressionHead(
+                    num_targets=cfg.get("num_targets", 1),
+                    loss_type=cfg.get("loss_type", "mse"),
+                    dropout=self.dropout, name=f"head_{name}",
+                    dtype=self.dtype, param_dtype=self.param_dtype)
+            else:
+                raise ValueError(f"unknown task type {kind!r}")
+        self.heads = heads
+        self.log_vars = self.param(
+            "log_vars", nn.initializers.zeros, (len(self.task_configs),), jnp.float32)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        h = x
+        for layer in self.trunk_layers:
+            h = nn.gelu(layer(h))
+        return {name: head(h, deterministic=deterministic)
+                for name, head in self.heads.items()}
+
+    def combined_loss(self, losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Kendall et al. homoscedastic-uncertainty weighting."""
+        total = jnp.asarray(0.0, jnp.float32)
+        for i, name in enumerate(self.task_configs):
+            lv = self.log_vars[i]
+            total = total + jnp.exp(-lv) * losses[name] + 0.5 * lv
+        return total

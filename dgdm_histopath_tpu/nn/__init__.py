@@ -1,0 +1,17 @@
+"""Core NN building blocks (reference layer L2, ``dgdm_histopath/core/``)."""
+
+from .attention import (
+    MultiHeadAttention, SpatialAttention, CrossModalAttention,
+    scaled_dot_product_attention, sinusoidal_position_encoding_2d,
+)
+from .graph_layers import (
+    GraphConvolution, DynamicGraphLayer, AdaptiveGraphPooling, GraphUNet,
+)
+from .diffusion import DiffusionLayer, DenoiserMLP
+
+__all__ = [
+    "MultiHeadAttention", "SpatialAttention", "CrossModalAttention",
+    "scaled_dot_product_attention", "sinusoidal_position_encoding_2d",
+    "GraphConvolution", "DynamicGraphLayer", "AdaptiveGraphPooling", "GraphUNet",
+    "DiffusionLayer", "DenoiserMLP",
+]

@@ -1,0 +1,244 @@
+"""Graph message-passing layers on the padded neighbor-list format.
+
+Parity surface: reference ``dgdm_histopath/core/graph_layers.py`` —
+``GraphConvolution`` (:19-110), ``DynamicGraphLayer`` (:113-247),
+``AdaptiveGraphPooling`` (:250-329), ``GraphUNet`` (:332-457).
+
+TPU-native design: PyG's scatter-add over a COO ``edge_index`` becomes a
+dense neighbor gather (``[N, K]`` indices, MXU-shaped feature matmuls) with
+masked reductions. Two deliberate bug-fixes vs the reference (SURVEY §8.5/§8.6):
+
+  * ``DynamicGraphLayer``'s per-edge attention weights actually modulate the
+    messages (the reference computed them and threw them away,
+    ``core/graph_layers.py:227-233``);
+  * edge features have a configurable dim with a learned projection at
+    ingestion, instead of a hard-coded ``edge_dim=32`` plus zero-substitution.
+
+All modules accept inputs with arbitrary leading batch axes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.graph import (
+    gather_neighbors,
+    gather_scalar,
+    masked_neighbor_sum,
+    masked_softmax,
+    symmetric_norm,
+)
+
+Dtype = jnp.dtype
+
+
+class GraphConvolution(nn.Module):
+    """GCN-style convolution with symmetric degree normalization.
+
+    h_i' = n_ii * W x_i + sum_j n_ij * (W x_j + W_e e_ij) + b
+    with n = 1/sqrt(d_i d_j), matching the reference's self-loop +
+    degree-normalized propagate (``core/graph_layers.py:68-110``).
+    """
+
+    features: int
+    use_edge_features: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,          # [..., N, F]
+        nbr_idx: jnp.ndarray,    # [..., N, K]
+        nbr_mask: jnp.ndarray,   # [..., N, K]
+        edge_attr: Optional[jnp.ndarray] = None,   # [..., N, K, E]
+        edge_weight: Optional[jnp.ndarray] = None,  # [..., N, K] multiplicative
+    ) -> jnp.ndarray:
+        w = nn.Dense(self.features, use_bias=False, name="lin",
+                     dtype=self.dtype, param_dtype=self.param_dtype)
+        h = w(x)                                             # transform-then-gather: one matmul
+        h_nbr = gather_neighbors(h, nbr_idx)                 # [..., N, K, F']
+        if self.use_edge_features and edge_attr is not None:
+            e = nn.Dense(self.features, use_bias=False, name="edge_lin",
+                         dtype=self.dtype, param_dtype=self.param_dtype)(
+                edge_attr.astype(h.dtype))
+            h_nbr = h_nbr + e
+        norm, self_norm = symmetric_norm(nbr_idx, nbr_mask)
+        weight = norm.astype(h.dtype)
+        if edge_weight is not None:
+            weight = weight * edge_weight.astype(h.dtype)
+        agg = masked_neighbor_sum(h_nbr * weight[..., None], nbr_mask)
+        out = agg + h * self_norm[..., None].astype(h.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return out + bias.astype(out.dtype)
+
+
+class DynamicGraphLayer(nn.Module):
+    """Edge-attention message passing block.
+
+    Per-edge multi-head attention scores (QK with edge-key injection, softmax
+    over each node's incoming K slots — reference
+    ``core/graph_layers.py:160-205``) followed by two stacked
+    ``GraphConvolution``s whose messages are *weighted by the attention*
+    (bug-fix, see module docstring), then residual + LayerNorm.
+    """
+
+    features: int
+    num_heads: int = 8
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        nbr_idx: jnp.ndarray,
+        nbr_mask: jnp.ndarray,
+        edge_attr: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        return_attention: bool = False,
+    ):
+        f = self.features
+        heads = self.num_heads
+        head_dim = f // heads
+        if head_dim * heads != f:
+            raise ValueError("features must be divisible by num_heads")
+
+        x_in = nn.Dense(f, name="in_proj", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(x) if x.shape[-1] != f else x
+
+        q = nn.DenseGeneral((heads, head_dim), name="q_proj", dtype=self.dtype,
+                            param_dtype=self.param_dtype)(x_in)          # [..., N, H, D]
+        k = nn.DenseGeneral((heads, head_dim), name="k_proj", dtype=self.dtype,
+                            param_dtype=self.param_dtype)(x_in)
+        k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx)   # [..., N, K, H*D]
+        k_nbr = k_nbr.reshape(*k_nbr.shape[:-1], heads, head_dim)
+        if edge_attr is not None:
+            e_k = nn.DenseGeneral((heads, head_dim), name="edge_k_proj", dtype=self.dtype,
+                                  param_dtype=self.param_dtype)(edge_attr.astype(x_in.dtype))
+            k_nbr = k_nbr + e_k
+        scores = jnp.einsum("...nhd,...nkhd->...nkh", q, k_nbr).astype(jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        attn = masked_softmax(scores, nbr_mask[..., None], axis=-2)      # softmax over K
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, attn.shape)
+            attn = attn * keep / (1.0 - self.dropout)
+        edge_weight = jnp.mean(attn, axis=-1)                            # [..., N, K] head-avg
+
+        h = GraphConvolution(f, name="conv1", dtype=self.dtype,
+                             param_dtype=self.param_dtype)(
+            x_in, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = GraphConvolution(f, name="conv2", dtype=self.dtype,
+                             param_dtype=self.param_dtype)(
+            h, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight)
+        out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="norm")(x_in + h)
+        if return_attention:
+            return out, attn
+        return out
+
+
+class AdaptiveGraphPooling(nn.Module):
+    """Top-k node pooling by a learned score (reference :250-329).
+
+    XLA-friendly formulation: instead of physically shrinking the graph
+    (dynamic shapes), keep the padded shape and *re-mask*: the top
+    ``ceil(ratio * N)`` real nodes stay, everything else becomes padding.
+    Scores gate the surviving features (straight-through to keep gradients).
+    Returns (x, node_mask, perm_scores) — neighbor structure is unchanged and
+    edges into dropped nodes die via the mask.
+    """
+
+    ratio: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,          # [..., N, F]
+        node_mask: jnp.ndarray,  # [..., N]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        n = x.shape[-2]
+        keep = max(1, int(round(self.ratio * n)))
+        score = nn.Dense(1, name="score", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)[..., 0]
+        score = jnp.tanh(score.astype(jnp.float32))
+        neg = jnp.finfo(jnp.float32).min
+        masked_score = jnp.where(node_mask, score, neg)
+        kth = jnp.sort(masked_score, axis=-1)[..., n - keep][..., None]
+        new_mask = (masked_score >= kth) & node_mask
+        gate = jax.nn.sigmoid(score).astype(x.dtype)[..., None]
+        x_out = x * gate * new_mask[..., None].astype(x.dtype)
+        return x_out, new_mask, score
+
+
+class GraphUNet(nn.Module):
+    """Encoder/pool/decoder U-Net over graphs with skip connections.
+
+    Mirrors the reference's ``GraphUNet`` (:332-457) on the padded layout:
+    each level is a ``DynamicGraphLayer`` + ``AdaptiveGraphPooling``; the
+    decoder re-expands by *unmasking* (padding-preserving analogue of the
+    reference's unpool-by-scatter) and adds the skip connection.
+    """
+
+    features: int
+    depth: int = 2
+    pool_ratio: float = 0.5
+    num_heads: int = 8
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        nbr_idx: jnp.ndarray,
+        nbr_mask: jnp.ndarray,
+        node_mask: jnp.ndarray,
+        edge_attr: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        f = self.features
+        if x.shape[-1] != f:
+            x = nn.Dense(f, name="in_proj", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)
+
+        skips = []
+        masks = [node_mask]
+        h = x
+        cur_mask = node_mask
+        for d in range(self.depth):
+            h = DynamicGraphLayer(f, self.num_heads, self.dropout, name=f"down{d}",
+                                  dtype=self.dtype, param_dtype=self.param_dtype)(
+                h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
+                deterministic=deterministic)
+            skips.append(h)
+            h, cur_mask, _ = AdaptiveGraphPooling(self.pool_ratio, name=f"pool{d}",
+                                                  dtype=self.dtype,
+                                                  param_dtype=self.param_dtype)(h, cur_mask)
+            masks.append(cur_mask)
+
+        h = DynamicGraphLayer(f, self.num_heads, self.dropout, name="bottleneck",
+                              dtype=self.dtype, param_dtype=self.param_dtype)(
+            h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
+            deterministic=deterministic)
+
+        for d in reversed(range(self.depth)):
+            up_mask = masks[d]
+            h = h + skips[d]                       # unpool = unmask + skip add
+            h = DynamicGraphLayer(f, self.num_heads, self.dropout, name=f"up{d}",
+                                  dtype=self.dtype, param_dtype=self.param_dtype)(
+                h, nbr_idx, nbr_mask & up_mask[..., None], edge_attr,
+                deterministic=deterministic)
+        out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="out_norm")(h + x)
+        return out * node_mask[..., None].astype(out.dtype)

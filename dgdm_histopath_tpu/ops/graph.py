@@ -1,0 +1,257 @@
+"""Padded dense-neighbor graph format and masked segment ops.
+
+This is the TPU-native replacement for the reference's PyG ragged COO format
+(``torch_geometric.data.Data`` with ``edge_index`` — see reference
+``preprocessing/tissue_graph_builder.py:367-437``). XLA wants static shapes,
+so a tissue graph is stored as fixed-size padded arrays:
+
+  - ``x``         [N, F]   node (patch) features
+  - ``pos``       [N, 2]   normalized patch coordinates
+  - ``nbr_idx``   [N, K]   int32 neighbor indices (row i's incoming edges)
+  - ``nbr_mask``  [N, K]   True where the neighbor slot is a real edge
+  - ``edge_attr`` [N, K, E] per-edge features (dist/weight/sim)
+  - ``node_mask`` [N]      True for real (non-padding) nodes
+
+``N`` is drawn from a small set of buckets (config ``data.node_buckets``) so
+the number of distinct compiled programs stays bounded (SURVEY §7 "hard
+parts"). A batch of graphs adds a leading ``B`` axis to every field; all ops
+here are written for the unbatched case and ``jax.vmap`` over batches.
+
+Neighbor gathers (``take_along_axis``) plus masked reductions replace PyG's
+scatter-add message passing; the dense [N, K] layout keeps the feature
+matmuls MXU-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class PaddedGraph:
+    """A fixed-shape tissue graph (or batch of graphs with leading axis)."""
+
+    x: jnp.ndarray          # [..., N, F] float
+    pos: jnp.ndarray        # [..., N, 2] float
+    nbr_idx: jnp.ndarray    # [..., N, K] int32
+    nbr_mask: jnp.ndarray   # [..., N, K] bool
+    edge_attr: jnp.ndarray  # [..., N, K, E] float
+    node_mask: jnp.ndarray  # [..., N] bool
+    y: Optional[jnp.ndarray] = None  # [...] or [..., T] labels/targets
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[-2]
+
+    @property
+    def max_neighbors(self) -> int:
+        return self.nbr_idx.shape[-1]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.x.shape[-1]
+
+    @property
+    def n_real_nodes(self) -> jnp.ndarray:
+        return jnp.sum(self.node_mask.astype(jnp.int32), axis=-1)
+
+    def replace_features(self, x: jnp.ndarray) -> "PaddedGraph":
+        return self.replace(x=x)
+
+
+def gather_neighbors(x: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbor features with arbitrary leading batch axes.
+
+    x [..., N, F], nbr_idx [..., N, K] -> [..., N, K, F].
+    """
+    *batch, n, f = x.shape
+    k = nbr_idx.shape[-1]
+    flat_idx = nbr_idx.reshape(*batch, n * k)
+    gathered = jnp.take_along_axis(
+        x, jnp.broadcast_to(flat_idx[..., None], (*batch, n * k, f)), axis=-2
+    )
+    return gathered.reshape(*batch, n, k, f)
+
+
+def gather_scalar(values: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-node scalars: values [..., N], nbr_idx [..., N, K] -> [..., N, K]."""
+    *batch, n = values.shape
+    k = nbr_idx.shape[-1]
+    flat = jnp.take_along_axis(values, nbr_idx.reshape(*batch, n * k), axis=-1)
+    return flat.reshape(*batch, n, k)
+
+
+def masked_neighbor_sum(messages: jnp.ndarray, nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    """Sum messages [N, K, F] over valid neighbor slots -> [N, F]."""
+    return jnp.sum(messages * nbr_mask[..., None].astype(messages.dtype), axis=-2)
+
+
+def masked_neighbor_mean(messages: jnp.ndarray, nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    count = jnp.sum(nbr_mask.astype(messages.dtype), axis=-1, keepdims=True)
+    return masked_neighbor_sum(messages, nbr_mask) / jnp.maximum(count, 1.0)
+
+
+def degrees(nbr_mask: jnp.ndarray, add_self_loops: bool = True) -> jnp.ndarray:
+    """In-degree per node from the neighbor mask; [N]."""
+    deg = jnp.sum(nbr_mask.astype(jnp.float32), axis=-1)
+    if add_self_loops:
+        deg = deg + 1.0
+    return deg
+
+
+def symmetric_norm(nbr_idx: jnp.ndarray, nbr_mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GCN symmetric normalization 1/sqrt(d_i d_j) per neighbor slot.
+
+    Matches the normalization of the reference's ``GraphConvolution``
+    (reference ``core/graph_layers.py:76-84``) on the dense neighbor layout.
+    Returns (edge_norm [N, K], self_norm [N]).
+    """
+    deg = degrees(nbr_mask, add_self_loops=True)            # [..., N]
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+    nbr_inv = gather_scalar(inv_sqrt, nbr_idx)              # [..., N, K]
+    edge_norm = inv_sqrt[..., :, None] * nbr_inv * nbr_mask.astype(inv_sqrt.dtype)
+    self_norm = inv_sqrt * inv_sqrt                          # self-loop term
+    return edge_norm, self_norm
+
+
+def masked_global_mean(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean over real nodes: x [N, F], mask [N] -> [F]."""
+    m = node_mask.astype(x.dtype)[..., None]
+    total = jnp.sum(x * m, axis=-2)
+    count = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    return total / count
+
+
+def masked_global_max(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    neg = jnp.finfo(x.dtype).min
+    masked = jnp.where(node_mask[..., None], x, neg)
+    return jnp.max(masked, axis=-2)
+
+
+def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Numerically-stable softmax that zeroes masked entries.
+
+    Fully-masked rows return all-zeros rather than NaN.
+    """
+    neg = jnp.finfo(logits.dtype).min
+    masked_logits = jnp.where(mask, logits, neg)
+    maxes = jnp.max(masked_logits, axis=axis, keepdims=True)
+    # guard fully-masked rows: max would be `neg`, exp(neg - neg) = 1; mask after.
+    unnorm = jnp.exp(masked_logits - jax.lax.stop_gradient(maxes))
+    unnorm = unnorm * mask.astype(unnorm.dtype)
+    denom = jnp.sum(unnorm, axis=axis, keepdims=True)
+    return unnorm / jnp.maximum(denom, jnp.asarray(1e-20, unnorm.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Construction / conversion helpers (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (last bucket if n exceeds all; caller subsamples)."""
+    for b in buckets:
+        if n <= b:
+            return int(b)
+    return int(buckets[-1])
+
+
+def build_padded_graph(
+    x: np.ndarray,
+    pos: np.ndarray,
+    nbr_idx: np.ndarray,
+    nbr_dist_or_attr: np.ndarray,
+    nbr_mask: np.ndarray,
+    bucket: Optional[int] = None,
+    y: Optional[np.ndarray] = None,
+) -> PaddedGraph:
+    """Pad host-side graph arrays up to ``bucket`` nodes."""
+    n, f = x.shape
+    k = nbr_idx.shape[1]
+    e = nbr_dist_or_attr.shape[-1] if nbr_dist_or_attr.ndim == 3 else 1
+    attr = nbr_dist_or_attr.reshape(n, k, e)
+    target = int(bucket) if bucket is not None else n
+    if n > target:
+        raise ValueError(f"graph has {n} nodes, exceeds bucket {target}")
+    pad = target - n
+    xp = np.pad(x.astype(np.float32), ((0, pad), (0, 0)))
+    posp = np.pad(pos.astype(np.float32), ((0, pad), (0, 0)))
+    idxp = np.pad(nbr_idx.astype(np.int32), ((0, pad), (0, 0)))
+    maskp = np.pad(nbr_mask.astype(bool), ((0, pad), (0, 0)))
+    attrp = np.pad(attr.astype(np.float32), ((0, pad), (0, 0), (0, 0)))
+    node_mask = np.zeros((target,), dtype=bool)
+    node_mask[:n] = True
+    return PaddedGraph(
+        x=jnp.asarray(xp), pos=jnp.asarray(posp), nbr_idx=jnp.asarray(idxp),
+        nbr_mask=jnp.asarray(maskp), edge_attr=jnp.asarray(attrp),
+        node_mask=jnp.asarray(node_mask),
+        y=None if y is None else jnp.asarray(y),
+    )
+
+
+def from_edge_index(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    pos: Optional[np.ndarray] = None,
+    edge_attr: Optional[np.ndarray] = None,
+    max_neighbors: int = 16,
+    bucket: Optional[int] = None,
+    y: Optional[np.ndarray] = None,
+) -> PaddedGraph:
+    """Convert a COO edge list (the reference's on-disk format) to PaddedGraph.
+
+    ``edge_index`` is [2, E] with rows (src, dst); incoming edges of node i are
+    those with dst == i, truncated to ``max_neighbors`` (highest-weight first
+    when edge_attr present, else arbitrary order).
+    """
+    n = x.shape[0]
+    e_dim = 1 if edge_attr is None else (edge_attr.shape[1] if edge_attr.ndim == 2 else 1)
+    nbr_idx = np.zeros((n, max_neighbors), dtype=np.int32)
+    nbr_mask = np.zeros((n, max_neighbors), dtype=bool)
+    attr = np.zeros((n, max_neighbors, e_dim), dtype=np.float32)
+    if edge_index.size:
+        src, dst = edge_index[0], edge_index[1]
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        ea = None
+        if edge_attr is not None:
+            ea = edge_attr.reshape(len(order), -1)[order] if edge_attr.shape[0] == len(order) else None
+        starts = np.searchsorted(dst, np.arange(n), side="left")
+        ends = np.searchsorted(dst, np.arange(n), side="right")
+        for i in range(n):
+            s, t = starts[i], ends[i]
+            take = min(max_neighbors, t - s)
+            if take <= 0:
+                continue
+            sel = np.arange(s, s + take)
+            nbr_idx[i, :take] = src[sel]
+            nbr_mask[i, :take] = True
+            if ea is not None:
+                attr[i, :take, : ea.shape[1]] = ea[sel]
+    if pos is None:
+        pos = np.zeros((n, 2), dtype=np.float32)
+    return build_padded_graph(x, pos, nbr_idx, attr, nbr_mask, bucket=bucket, y=y)
+
+
+def batch_graphs(graphs: Sequence[PaddedGraph]) -> PaddedGraph:
+    """Stack same-bucket graphs into a batched PaddedGraph (leading B axis)."""
+    if not graphs:
+        raise ValueError("cannot batch zero graphs")
+    n = graphs[0].num_nodes
+    k = graphs[0].max_neighbors
+    for g in graphs:
+        if g.num_nodes != n or g.max_neighbors != k:
+            raise ValueError("all graphs in a batch must share the same bucket shape")
+    stack = lambda getter: jnp.stack([getter(g) for g in graphs], axis=0)
+    ys = [g.y for g in graphs]
+    y = None if any(v is None for v in ys) else jnp.stack(ys, axis=0)
+    return PaddedGraph(
+        x=stack(lambda g: g.x), pos=stack(lambda g: g.pos),
+        nbr_idx=stack(lambda g: g.nbr_idx), nbr_mask=stack(lambda g: g.nbr_mask),
+        edge_attr=stack(lambda g: g.edge_attr), node_mask=stack(lambda g: g.node_mask),
+        y=y,
+    )

@@ -1,0 +1,135 @@
+"""Orbax checkpointing with top-k retention on a monitored metric.
+
+Parity surface: Lightning ``ModelCheckpoint(save_top_k=3, monitor='val_loss',
+save_last=True)`` + resume semantics (reference ``cli/train.py:308-317,
+391-395``; manual dict checkpoints at ``training/trainer.py:348-359``).
+
+TPU-native: Orbax async checkpointing of the full TrainState pytree
+(params, opt_state, step, rng), with a small JSON sidecar recording the
+monitored metric per step for top-k pruning.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..utils.exceptions import CheckpointError
+from ..utils.logging import get_logger
+
+logger = get_logger("checkpoint")
+
+
+class CheckpointManager:
+    """Top-k + last checkpoint retention on a monitored metric (lower=better)."""
+
+    def __init__(self, directory: str | Path, save_top_k: int = 3,
+                 monitor: str = "val_loss", mode: str = "min"):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.monitor = monitor
+        self.mode = mode
+        self._index_path = self.directory / "index.json"
+        self._index: Dict[str, Any] = self._load_index()
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _load_index(self) -> Dict[str, Any]:
+        if self._index_path.exists():
+            return json.loads(self._index_path.read_text())
+        return {"records": [], "best_step": None, "last_step": None}
+
+    def _write_index(self) -> None:
+        self._index_path.write_text(json.dumps(self._index, indent=2))
+
+    def _step_dir(self, step: int) -> Path:
+        return self.directory / f"step_{step:08d}"
+
+    def save(self, state: Any, step: int, metric: Optional[float] = None) -> Path:
+        path = self._step_dir(step)
+        # fully materialize on host before save
+        state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+        self._ckpt.save(path, state, force=True)
+        self._ckpt.wait_until_finished()
+        rec = {"step": step, "metric": metric}
+        self._index["records"] = [r for r in self._index["records"] if r["step"] != step]
+        self._index["records"].append(rec)
+        self._index["last_step"] = step
+        scored = [r for r in self._index["records"] if r["metric"] is not None]
+        if scored:
+            sign = 1.0 if self.mode == "min" else -1.0
+            scored.sort(key=lambda r: sign * r["metric"])
+            self._index["best_step"] = scored[0]["step"]
+            # prune beyond top-k (never prune last)
+            keep = {r["step"] for r in scored[: self.save_top_k]}
+            keep.add(self._index["last_step"])
+            for r in list(self._index["records"]):
+                if r["step"] not in keep:
+                    self._remove(r["step"])
+                    self._index["records"].remove(r)
+        self._write_index()
+        logger.info("saved checkpoint step=%d metric=%s -> %s", step, metric, path)
+        return path
+
+    def _remove(self, step: int) -> None:
+        import shutil
+        p = self._step_dir(step)
+        if p.exists():
+            shutil.rmtree(p, ignore_errors=True)
+
+    def restore(self, target: Any, step: Optional[int] = None,
+                best: bool = False) -> Any:
+        if step is None:
+            step = self._index["best_step"] if best else self._index["last_step"]
+        if step is None:
+            raise CheckpointError("no checkpoint available", {"dir": str(self.directory)})
+        path = self._step_dir(step)
+        if not path.exists():
+            raise CheckpointError("checkpoint path missing", {"path": str(path)})
+        abstract = jax.tree_util.tree_map(np.asarray, jax.device_get(target))
+        restored = self._ckpt.restore(path, abstract)
+        logger.info("restored checkpoint step=%d from %s", step, path)
+        return restored
+
+    @property
+    def best_step(self) -> Optional[int]:
+        return self._index["best_step"]
+
+    @property
+    def last_step(self) -> Optional[int]:
+        return self._index["last_step"]
+
+    def all_steps(self):
+        return sorted(r["step"] for r in self._index["records"])
+
+
+def save_model_bundle(path: str | Path, params: Any, model_config: Dict[str, Any],
+                      extra: Optional[Dict[str, Any]] = None) -> Path:
+    """Single-file .npz export of params + config JSON (the analogue of the
+    reference's manual state_dict checkpoint, ``training/trainer.py:348-359``)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat, treedef = jax.tree_util.tree_flatten(jax.device_get(params))
+    arrays = {f"param_{i}": np.asarray(leaf) for i, leaf in enumerate(flat)}
+    meta = {
+        "model_config": model_config,
+        "treedef": str(treedef),
+        "num_leaves": len(flat),
+        "extra": extra or {},
+    }
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    return path
+
+
+def load_model_bundle(path: str | Path, params_template: Any) -> Any:
+    """Restore params saved by :func:`save_model_bundle` into a template tree."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+    flat = [data[f"param_{i}"] for i in range(meta["num_leaves"])]
+    treedef = jax.tree_util.tree_structure(params_template)
+    return jax.tree_util.tree_unflatten(treedef, flat)

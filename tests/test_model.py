@@ -1,0 +1,247 @@
+"""Model-layer tests: nn blocks, encoders, heads, DGDMModel forward/pretrain.
+
+Mirrors the reference's synthetic-graph unit pattern
+(reference tests/test_basic.py:70-189).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgdm_histopath_tpu.models import (
+    ClassificationHead, DGDMModel, FeatureEncoder, GraphEncoder,
+    MultiTaskHead, RegressionHead, SurvivalHead,
+)
+from dgdm_histopath_tpu.models.decoders import (
+    cox_partial_likelihood, discrete_survival_loss,
+)
+from dgdm_histopath_tpu.nn import (
+    DiffusionLayer, DynamicGraphLayer, GraphConvolution, GraphUNet,
+    MultiHeadAttention, SpatialAttention,
+)
+from dgdm_histopath_tpu.ops.graph import batch_graphs
+
+from conftest import make_synthetic_graph
+
+
+def small_batch(num_classes=None, feat_dim=32, n_nodes=32, n_real=24, b=2):
+    gs = [make_synthetic_graph(seed=i, n_nodes=n_nodes, n_real=n_real,
+                               feat_dim=feat_dim, num_classes=num_classes)
+          for i in range(b)]
+    return batch_graphs(gs)
+
+
+class TestNNBlocks:
+    def test_graph_convolution_shapes(self):
+        g = small_batch()
+        layer = GraphConvolution(features=16, dtype=jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask, g.edge_attr)
+        out = layer.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.edge_attr)
+        assert out.shape == (2, 32, 16)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_dynamic_graph_layer_attention_applied(self):
+        g = small_batch()
+        layer = DynamicGraphLayer(features=16, num_heads=4, dtype=jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask, g.edge_attr)
+        out, attn = layer.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.edge_attr,
+                                return_attention=True)
+        assert out.shape == (2, 32, 16)
+        assert attn.shape == (2, 32, g.max_neighbors, 4)
+        # attention sums to 1 over valid neighbor slots (or 0 if none valid)
+        sums = np.asarray(jnp.sum(attn, axis=2))
+        has_nbr = np.asarray(jnp.any(g.nbr_mask, axis=-1))
+        np.testing.assert_allclose(sums[has_nbr], 1.0, atol=1e-5)
+
+    def test_mha_masking(self):
+        mha = MultiHeadAttention(embed_dim=16, num_heads=4, dtype=jnp.float32)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 16), jnp.float32)
+        mask = jnp.asarray([[True] * 6 + [False] * 4, [True] * 10])
+        params = mha.init(jax.random.PRNGKey(0), x, key_mask=mask)
+        out, w = mha.apply(params, x, key_mask=mask, return_weights=True)
+        assert out.shape == (2, 10, 16)
+        # no attention mass on masked keys
+        assert float(jnp.sum(w[0, :, :, 6:])) < 1e-6
+
+    def test_spatial_attention(self):
+        g = small_batch(feat_dim=16)
+        sa = SpatialAttention(embed_dim=16, num_heads=4, dtype=jnp.float32)
+        params = sa.init(jax.random.PRNGKey(0), g.x, g.pos, g.node_mask)
+        out = sa.apply(params, g.x, g.pos, g.node_mask)
+        assert out.shape == g.x.shape
+        # padded nodes output zero
+        assert float(jnp.abs(out[:, 24:]).max()) == 0.0
+
+    def test_graph_unet(self):
+        g = small_batch(feat_dim=16)
+        unet = GraphUNet(features=16, depth=2, num_heads=4, dtype=jnp.float32)
+        params = unet.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                           g.node_mask, g.edge_attr)
+        out = unet.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask, g.edge_attr)
+        assert out.shape == (2, 32, 16)
+
+    def test_diffusion_layer_training_and_shapes(self):
+        layer = DiffusionLayer(features=16, num_steps=5, dtype=jnp.float32)
+        x0 = jnp.asarray(np.random.RandomState(0).randn(2, 8, 16), jnp.float32)
+        params = layer.init({"params": jax.random.PRNGKey(0),
+                             "diffusion": jax.random.PRNGKey(1)}, x0,
+                            jax.random.PRNGKey(2))
+        pred, noise, t = layer.apply(params, x0, jax.random.PRNGKey(3))
+        assert pred.shape == x0.shape and noise.shape == x0.shape
+        assert t.shape == (2,)
+        assert np.all(np.asarray(t) >= 0) and np.all(np.asarray(t) < 5)
+
+
+class TestEncoders:
+    def test_feature_encoder(self):
+        enc = FeatureEncoder(hidden_dims=(32, 16), dtype=jnp.float32)
+        x = jnp.ones((2, 10, 64))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(params, x)
+        assert out.shape == (2, 10, 16)
+
+    def test_graph_encoder(self):
+        g = small_batch(feat_dim=32)
+        enc = GraphEncoder(hidden_dim=16, num_layers=2, num_heads=4, dtype=jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                          g.node_mask, g.edge_attr)
+        out = enc.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask, g.edge_attr)
+        assert out["embeddings"].shape == (2, 32, 16)
+        assert len(out["layer_outputs"]) == 2
+
+
+class TestHeads:
+    def test_classification_head_loss(self):
+        head = ClassificationHead(num_classes=3, dtype=jnp.float32)
+        x = jnp.ones((4, 16))
+        params = head.init(jax.random.PRNGKey(0), x)
+        logits = head.apply(params, x)
+        assert logits.shape == (4, 3)
+        labels = jnp.asarray([0, 1, 2, 0])
+        loss = head.loss(logits, labels)
+        assert float(loss) > 0.0
+        pred = head.predict(logits)
+        assert pred["predictions"].shape == (4,)
+
+    def test_regression_uncertainty(self):
+        head = RegressionHead(num_targets=2, predict_uncertainty=True,
+                              loss_type="gaussian_nll", dtype=jnp.float32)
+        x = jnp.ones((4, 16))
+        params = head.init(jax.random.PRNGKey(0), x)
+        out = head.apply(params, x)
+        assert out["mean"].shape == (4, 2) and out["log_var"].shape == (4, 2)
+        loss = head.loss(out, jnp.zeros((4, 2)))
+        assert np.isfinite(float(loss))
+
+    def test_cox_loss_orders_risk(self):
+        # higher risk for earlier events should give lower loss
+        time = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        event = jnp.asarray([1, 1, 1, 1])
+        good = cox_partial_likelihood(jnp.asarray([3.0, 2.0, 1.0, 0.0]), time, event)
+        bad = cox_partial_likelihood(jnp.asarray([0.0, 1.0, 2.0, 3.0]), time, event)
+        assert float(good) < float(bad)
+
+    def test_discrete_survival(self):
+        logits = jnp.zeros((3, 5))
+        loss = discrete_survival_loss(logits, jnp.asarray([0, 2, 4]), jnp.asarray([1, 0, 1]))
+        assert np.isfinite(float(loss))
+
+    def test_survival_head(self):
+        head = SurvivalHead(mode="discrete", num_intervals=4, dtype=jnp.float32)
+        x = jnp.ones((3, 16))
+        params = head.init(jax.random.PRNGKey(0), x)
+        out = head.apply(params, x)
+        assert out["hazard_logits"].shape == (3, 4)
+        surv = np.asarray(out["survival"])
+        assert np.all(np.diff(surv, axis=-1) <= 1e-6)  # survival non-increasing
+
+    def test_multitask_head(self):
+        head = MultiTaskHead(
+            task_configs={"subtype": {"type": "classification", "num_classes": 4},
+                          "grade": {"type": "regression", "num_targets": 1}},
+            dtype=jnp.float32)
+        x = jnp.ones((4, 16))
+        params = head.init(jax.random.PRNGKey(0), x)
+        out = head.apply(params, x)
+        assert out["subtype"].shape == (4, 4)
+        assert out["grade"]["mean"].shape == (4, 1)
+
+
+class TestDGDMModel:
+    def make_model(self, **kw):
+        defaults = dict(node_features=32, hidden_dims=(32, 16), num_diffusion_steps=4,
+                        attention_heads=4, graph_layers=2, num_classes=3,
+                        compute_dtype="float32")
+        defaults.update(kw)
+        return DGDMModel(**defaults)
+
+    def init_params(self, model, g):
+        return model.init(
+            {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+            g, mode="pretrain", deterministic=True)
+
+    def test_inference_forward(self):
+        g = small_batch(num_classes=3, feat_dim=32)
+        model = self.make_model()
+        params = self.init_params(model, g)
+        out = model.apply(params, g, mode="inference")
+        assert out["classification_logits"].shape == (2, 3)
+        assert out["graph_embedding"].shape == (2, 16)
+        assert out["node_embeddings"].shape == (2, 32, 16)
+        assert np.all(np.isfinite(np.asarray(out["classification_logits"])))
+
+    def test_pretrain_step_losses(self):
+        g = small_batch(feat_dim=32)
+        model = self.make_model(num_classes=None)
+        params = self.init_params(model, g)
+        out = model.apply(
+            params, g, mask_ratio=0.3, deterministic=True,
+            method=DGDMModel.pretrain_step,
+            rngs={"diffusion": jax.random.PRNGKey(5), "masking": jax.random.PRNGKey(6)})
+        assert float(out["diffusion_loss"]) > 0.0
+        assert float(out["reconstruction_loss"]) >= 0.0
+        # only real nodes get masked
+        masked = np.asarray(out["masked_nodes"])
+        real = np.asarray(g.node_mask)
+        assert not np.any(masked & ~real)
+
+    def test_return_attention(self):
+        g = small_batch(num_classes=3, feat_dim=32)
+        model = self.make_model()
+        params = self.init_params(model, g)
+        out = model.apply(params, g, mode="inference", return_attention=True)
+        assert "attention_weights" in out
+        assert out["attention_weights"].shape == (2, 32)
+        w = np.asarray(out["attention_weights"])
+        # pooled attention concentrates on real nodes
+        assert w[:, 24:].max() < 1e-6
+
+    def test_jit_forward(self):
+        g = small_batch(num_classes=3, feat_dim=32)
+        model = self.make_model()
+        params = self.init_params(model, g)
+
+        @jax.jit
+        def forward(p, graph):
+            return model.apply(p, graph, mode="inference")["classification_logits"]
+
+        out1 = forward(params, g)
+        out2 = forward(params, g)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_invalid_config_raises(self):
+        from dgdm_histopath_tpu.utils.exceptions import ConfigurationError
+        g = small_batch(feat_dim=32)
+        model = self.make_model(attention_heads=5)  # doesn't divide 16
+        with pytest.raises(ConfigurationError):
+            self.init_params(model, g)
+
+    def test_pooling_variants(self):
+        g = small_batch(feat_dim=32)
+        for pooling in ("mean", "max", "attention", "set2set"):
+            model = self.make_model(num_classes=None, pooling=pooling)
+            params = self.init_params(model, g)
+            out = model.apply(params, g, mode="inference")
+            assert out["graph_embedding"].shape == (2, 16), pooling

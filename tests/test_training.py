@@ -1,0 +1,180 @@
+"""Trainer tests: loss functions, optimizer schedule, train/eval steps,
+DP sharding over the virtual 8-device CPU mesh, checkpointing.
+
+The reference's training tests live at reference tests/test_basic.py:195-218
+(loss sanity) — extended here with actual optimization and SPMD coverage the
+reference never had (SURVEY §4 "Distributed/multi-node testing: none").
+"""
+
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgdm_histopath_tpu.models import DGDMModel
+from dgdm_histopath_tpu.ops.graph import batch_graphs
+from dgdm_histopath_tpu.parallel.mesh import make_mesh
+from dgdm_histopath_tpu.training import (
+    CheckpointManager, DGDMTrainer, TrainerConfig, contrastive_loss,
+    diffusion_loss, graph_reconstruction_loss, make_lr_schedule,
+)
+
+from conftest import make_synthetic_graph
+
+
+def tiny_model(num_classes=None, **kw):
+    return DGDMModel(node_features=32, hidden_dims=(32, 16), num_diffusion_steps=4,
+                     attention_heads=4, graph_layers=2, num_classes=num_classes,
+                     use_hierarchical=False, compute_dtype="float32", **kw)
+
+
+def tiny_batch(b=4, num_classes=None, seed0=0):
+    gs = [make_synthetic_graph(seed=seed0 + i, n_nodes=32, n_real=24, feat_dim=32,
+                               num_classes=num_classes) for i in range(b)]
+    return batch_graphs(gs)
+
+
+class TestLosses:
+    def test_diffusion_loss_masked(self):
+        pred = jnp.ones((2, 8, 4))
+        true = jnp.zeros((2, 8, 4))
+        mask = jnp.asarray([[True] * 4 + [False] * 4] * 2)
+        full = diffusion_loss(pred, true)
+        masked = diffusion_loss(pred, true, mask)
+        assert float(full) == pytest.approx(1.0)
+        assert float(masked) == pytest.approx(1.0)  # all valid entries are 1
+
+    def test_contrastive_same_graph_positive(self):
+        rs = np.random.RandomState(0)
+        emb = jnp.asarray(rs.randn(2, 16, 8), jnp.float32)
+        mask = jnp.ones((2, 16), bool)
+        loss = contrastive_loss(emb, mask, temperature=0.1)
+        assert np.isfinite(float(loss)) and float(loss) > 0.0
+
+    def test_contrastive_ignores_padding(self):
+        rs = np.random.RandomState(0)
+        emb = np.zeros((2, 16, 8), np.float32)
+        emb[:, :8] = rs.randn(2, 8, 8)
+        mask = np.zeros((2, 16), bool)
+        mask[:, :8] = True
+        l_pad = contrastive_loss(jnp.asarray(emb), jnp.asarray(mask))
+        l_tight = contrastive_loss(jnp.asarray(emb[:, :8]), jnp.asarray(mask[:, :8]))
+        assert float(l_pad) == pytest.approx(float(l_tight), rel=1e-5)
+
+    def test_graph_reconstruction_loss(self):
+        g = tiny_batch(2)
+        loss = graph_reconstruction_loss(
+            g.x, g.nbr_idx, g.nbr_mask, g.node_mask, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+
+class TestSchedule:
+    def test_lr_phase_drop(self):
+        cfg = TrainerConfig(learning_rate=1e-3, warmup_steps=10, max_epochs=10,
+                            pretrain_epochs=5, steps_per_epoch=100,
+                            scheduler_type="cosine", finetune_lr_factor=0.1)
+        sched = make_lr_schedule(cfg)
+        before = float(sched(499))
+        after = float(sched(500))
+        assert after < before * 0.5  # sharp drop at the transition
+
+
+class TestTrainerSteps:
+    def test_pretrain_step_decreases_loss(self):
+        model = tiny_model()
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, pretrain_epochs=10,
+            steps_per_epoch=10, use_contrastive_loss=True), use_mesh=False)
+        batch = tiny_batch(4)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        losses = [trainer.training_step(batch, epoch=0)["loss"] for _ in range(12)]
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    def test_finetune_classification_step(self):
+        model = tiny_model(num_classes=3)
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, pretrain_epochs=0,
+            steps_per_epoch=10), use_mesh=False)
+        batch = tiny_batch(4, num_classes=3)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        m = trainer.training_step(batch, epoch=1)
+        assert "accuracy" in m
+        assert np.isfinite(m["loss"])
+
+    def test_validation_step(self):
+        model = tiny_model(num_classes=3)
+        trainer = DGDMTrainer(model, TrainerConfig(pretrain_epochs=0), use_mesh=False)
+        batch = tiny_batch(4, num_classes=3)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        out = trainer.validation_step(batch, epoch=1)
+        assert "accuracy" in out
+        assert out["probabilities"].shape == (4, 3)
+
+    def test_fit_loop_with_early_stop(self):
+        model = tiny_model(num_classes=2)
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, max_epochs=3, pretrain_epochs=1,
+            steps_per_epoch=2), use_mesh=False)
+        train = [tiny_batch(2, num_classes=2, seed0=i * 10) for i in range(2)]
+        val = [tiny_batch(2, num_classes=2, seed0=100)]
+        trainer.init_state(jax.random.PRNGKey(0), train[0])
+        result = trainer.fit(train, val, max_epochs=3)
+        assert len(result["history"]) == 3
+        assert result["history"][0]["phase"] == "pretrain"
+        assert result["history"][1]["phase"] == "finetune"
+        assert np.isfinite(result["best_val_loss"])
+
+
+@pytest.mark.integration
+class TestDataParallel:
+    def test_dp_mesh_step_matches_single_device(self):
+        n_dev = len(jax.devices())
+        assert n_dev == 8, f"expected 8 virtual CPU devices, got {n_dev}"
+        mesh = make_mesh(axes=("data",))
+        model = tiny_model(num_classes=2)
+        batch = tiny_batch(8, num_classes=2)
+
+        t_mesh = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, pretrain_epochs=0,
+            steps_per_epoch=10), mesh=mesh)
+        t_single = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, pretrain_epochs=0,
+            steps_per_epoch=10), use_mesh=False)
+        t_mesh.init_state(jax.random.PRNGKey(0), batch)
+        t_single.init_state(jax.random.PRNGKey(0), batch)
+
+        m_mesh = t_mesh.training_step(batch, epoch=1)
+        m_single = t_single.training_step(batch, epoch=1)
+        # SPMD sharded step computes the same global loss/grads
+        assert m_mesh["loss"] == pytest.approx(m_single["loss"], rel=1e-4)
+
+        p_mesh = jax.tree_util.tree_leaves(t_mesh.state.params)
+        p_single = jax.tree_util.tree_leaves(t_single.state.params)
+        for a, b in zip(p_mesh, p_single):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestCheckpoint:
+    def test_save_restore_topk(self):
+        model = tiny_model()
+        trainer = DGDMTrainer(model, TrainerConfig(), use_mesh=False)
+        batch = tiny_batch(2)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        with tempfile.TemporaryDirectory() as d:
+            mgr = CheckpointManager(d, save_top_k=2)
+            mgr.save(trainer.state, step=0, metric=1.0)
+            mgr.save(trainer.state, step=1, metric=0.5)
+            mgr.save(trainer.state, step=2, metric=2.0)
+            mgr.save(trainer.state, step=3, metric=0.4)
+            assert mgr.best_step == 3
+            assert mgr.last_step == 3
+            # top-2 by metric = steps 3, 1 (+ last which is 3)
+            assert set(mgr.all_steps()) == {1, 3}
+            restored = mgr.restore(trainer.state, best=True)
+            orig = jax.tree_util.tree_leaves(trainer.state.params)
+            rest = jax.tree_util.tree_leaves(restored.params)
+            for a, b in zip(orig, rest):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b))
