@@ -1,0 +1,255 @@
+"""Stain normalization: Macenko and Reinhard, batched on-device.
+
+Parity surface: reference ``dgdm_histopath/preprocessing/stain_normalization.py``
+(:14-259) — Macenko (RGB→OD :165-170, transparent-pixel filter OD-sum>0.1
+:90-95, covariance eigvecs :97-103, robust angle percentiles α=1 :108-115,
+stain vectors :114-123, concentrations via lstsq :177-182, 99th-percentile
+normalization to reference concentrations :126-135, OD→RGB :172-175;
+reference H&E vectors :48-54 and max concentrations [1.9705, 1.0308] :56-60),
+Reinhard LAB mean/std transfer (:142-163), and ``fit_to_template`` (:204-259).
+
+TPU-native design: the reference fits Macenko *per patch on host numpy*
+inside the tiling hot loop (SURVEY §3.3 "worst offenders"). Here the whole
+pipeline is jnp and ``vmap``-batched: thousands of patches are normalized in
+one device call — per-patch 3×3 covariance ``eigh`` and the 2-column least
+squares are closed-form, so everything fuses into a few large element-wise +
+matmul kernels on the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference H&E stain matrix and target max concentrations — the standard
+# Macenko constants the reference also uses (:48-60).
+DEFAULT_STAIN_MATRIX = np.array(
+    [[0.5626, 0.2159],
+     [0.7201, 0.8012],
+     [0.4062, 0.5581]], dtype=np.float32)          # [3 rgb, 2 stains] (H, E)
+DEFAULT_MAX_CONCENTRATIONS = np.array([1.9705, 1.0308], dtype=np.float32)
+
+_EPS = 1e-6
+_TRANSPARENT_OD = 0.15  # per-channel OD threshold for "tissue" pixels
+_IO = 255.0             # transmitted light intensity
+
+
+def rgb_to_od(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB [0,255] -> optical density. od = -log((I+1)/Io)."""
+    rgb = jnp.clip(rgb.astype(jnp.float32), 0.0, 255.0)
+    return -jnp.log((rgb + 1.0) / _IO)
+
+
+def od_to_rgb(od: jnp.ndarray) -> jnp.ndarray:
+    """Optical density -> RGB [0,255]."""
+    return jnp.clip(_IO * jnp.exp(-od) - 1.0, 0.0, 255.0)
+
+
+def _percentile_masked(values: jnp.ndarray, mask: jnp.ndarray, q: float) -> jnp.ndarray:
+    """Percentile over masked entries (static shapes: sorts with +inf pads)."""
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    filled = jnp.where(mask, values, big)
+    order = jnp.sort(filled)
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.clip((q / 100.0) * (n_valid.astype(jnp.float32) - 1.0), 0.0, None)
+    lo = jnp.floor(idx).astype(jnp.int32)
+    hi = jnp.ceil(idx).astype(jnp.int32)
+    frac = idx - lo.astype(jnp.float32)
+    lo_v = order[jnp.clip(lo, 0, values.shape[0] - 1)]
+    hi_v = order[jnp.clip(hi, 0, values.shape[0] - 1)]
+    out = lo_v * (1.0 - frac) + hi_v * frac
+    return jnp.where(n_valid > 0, out, 0.0)
+
+
+def estimate_stain_matrix(
+    rgb_flat: jnp.ndarray,          # [P, 3] pixels of one image
+    alpha: float = 1.0,             # robust angle percentile (reference :108)
+    beta: float = _TRANSPARENT_OD,
+) -> jnp.ndarray:
+    """Macenko stain-vector estimation for a single image -> [3, 2].
+
+    Steps (reference :84-123): OD transform, drop transparent pixels,
+    eigenvectors of the OD covariance, project onto the top-2 eigenplane,
+    robust min/max angles, back-project to unit stain vectors, order as
+    (H, E) by the first OD component.
+    """
+    od = rgb_to_od(rgb_flat)                           # [P, 3]
+    tissue = jnp.all(od > beta, axis=-1)               # [P]
+    w = tissue.astype(jnp.float32)[:, None]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(od * w, axis=0) / n
+    centered = (od - mean) * w
+    cov = centered.T @ centered / jnp.maximum(n - 1.0, 1.0)   # [3,3]
+    # top-2 eigenvectors of symmetric 3x3
+    evals, evecs = jnp.linalg.eigh(cov)
+    basis = evecs[:, 1:3]                              # [3, 2] (ascending order)
+    proj = od @ basis                                  # [P, 2]
+    angles = jnp.arctan2(proj[:, 1], proj[:, 0])
+    a_min = _percentile_masked(angles, tissue, alpha)
+    a_max = _percentile_masked(angles, tissue, 100.0 - alpha)
+    v1 = basis @ jnp.stack([jnp.cos(a_min), jnp.sin(a_min)])
+    v2 = basis @ jnp.stack([jnp.cos(a_max), jnp.sin(a_max)])
+    # stains point into positive OD space
+    v1 = jnp.where(jnp.sum(v1) < 0, -v1, v1)
+    v2 = jnp.where(jnp.sum(v2) < 0, -v2, v2)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1), _EPS)
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2), _EPS)
+    # hematoxylin has the larger first (red-channel OD) component
+    first_is_h = v1[0] > v2[0]
+    h = jnp.where(first_is_h, v1, v2)
+    e = jnp.where(first_is_h, v2, v1)
+    return jnp.stack([h, e], axis=1)                   # [3, 2]
+
+
+def stain_concentrations(rgb_flat: jnp.ndarray, stain_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares unmix: od ≈ stain_matrix @ C -> C [2, P].
+
+    Closed-form normal equations for the 3×2 system (reference uses
+    ``np.linalg.lstsq`` per patch, :177-182).
+    """
+    od = rgb_to_od(rgb_flat)                            # [P, 3]
+    m = stain_matrix                                    # [3, 2]
+    mtm = m.T @ m + _EPS * jnp.eye(2, dtype=m.dtype)    # [2, 2]
+    inv = jnp.linalg.inv(mtm)
+    return inv @ (m.T @ od.T)                           # [2, P]
+
+
+def _macenko_normalize_single(
+    rgb: jnp.ndarray,                  # [H, W, 3] uint8/float
+    ref_stains: jnp.ndarray,           # [3, 2]
+    ref_max_c: jnp.ndarray,            # [2]
+    alpha: float = 1.0,
+) -> jnp.ndarray:
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(-1, 3)
+    stains = estimate_stain_matrix(flat, alpha=alpha)
+    conc = stain_concentrations(flat, stains)           # [2, P]
+    od = rgb_to_od(flat)
+    tissue = jnp.all(od > _TRANSPARENT_OD, axis=-1)
+    max_c = jnp.stack([
+        _percentile_masked(conc[0], tissue, 99.0),
+        _percentile_masked(conc[1], tissue, 99.0),
+    ])
+    scale = ref_max_c / jnp.maximum(max_c, _EPS)
+    conc_norm = conc * scale[:, None]
+    od_norm = (ref_stains @ conc_norm).T                # [P, 3]
+    out = od_to_rgb(od_norm).reshape(h, w, 3)
+    # keep non-tissue (background) pixels untouched
+    return jnp.where(tissue.reshape(h, w, 1), out, rgb.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def macenko_normalize_batch(
+    rgb_batch: jnp.ndarray,            # [B, H, W, 3]
+    ref_stains: jnp.ndarray,
+    ref_max_c: jnp.ndarray,
+    alpha: float = 1.0,
+) -> jnp.ndarray:
+    """Normalize a batch of patches in one device call (the TPU win)."""
+    fn = lambda img: _macenko_normalize_single(img, ref_stains, ref_max_c, alpha)
+    return jax.vmap(fn)(rgb_batch)
+
+
+# ---------------------------------------------------------------------------
+# Reinhard (LAB mean/std transfer, reference :142-163)
+# ---------------------------------------------------------------------------
+
+_RGB2LMS = jnp.asarray([[0.3811, 0.5783, 0.0402],
+                        [0.1967, 0.7244, 0.0782],
+                        [0.0241, 0.1288, 0.8444]], jnp.float32)
+_LMS2LAB_A = jnp.asarray([[1 / np.sqrt(3), 0, 0],
+                          [0, 1 / np.sqrt(6), 0],
+                          [0, 0, 1 / np.sqrt(2)]], jnp.float32)
+_LMS2LAB_B = jnp.asarray([[1, 1, 1],
+                          [1, 1, -2],
+                          [1, -1, 0]], jnp.float32)
+
+
+def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Ruderman LAB (the colorspace Reinhard transfer uses)."""
+    rgb01 = jnp.clip(rgb.astype(jnp.float32) / 255.0, _EPS, 1.0)
+    lms = rgb01 @ _RGB2LMS.T
+    log_lms = jnp.log10(jnp.maximum(lms, _EPS))
+    return log_lms @ (_LMS2LAB_A @ _LMS2LAB_B).T
+
+
+def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
+    inv = jnp.linalg.inv(_LMS2LAB_A @ _LMS2LAB_B)
+    log_lms = lab @ inv.T
+    lms = jnp.power(10.0, log_lms)
+    rgb01 = lms @ jnp.linalg.inv(_RGB2LMS).T
+    return jnp.clip(rgb01 * 255.0, 0.0, 255.0)
+
+
+@jax.jit
+def reinhard_normalize_batch(
+    rgb_batch: jnp.ndarray,            # [B, H, W, 3]
+    target_mean: jnp.ndarray,          # [3] LAB
+    target_std: jnp.ndarray,           # [3] LAB
+) -> jnp.ndarray:
+    lab = rgb_to_lab(rgb_batch)
+    mean = jnp.mean(lab, axis=(1, 2), keepdims=True)
+    std = jnp.maximum(jnp.std(lab, axis=(1, 2), keepdims=True), _EPS)
+    lab_n = (lab - mean) / std * target_std + target_mean
+    return lab_to_rgb(lab_n)
+
+
+# Default Reinhard targets: Ruderman-LAB statistics of a reference H&E tissue
+# field (derived once from the synthetic H&E generator; override with
+# ``fit_to_template`` for cohort-specific targets).
+DEFAULT_LAB_MEAN = np.array([-0.4375, -0.0260, 0.0212], dtype=np.float32)
+DEFAULT_LAB_STD = np.array([0.1723, 0.0507, 0.0075], dtype=np.float32)
+
+
+class StainNormalizer:
+    """Batched stain normalizer with the reference's class API
+    (``StainNormalizer(method=...)``, ``normalize()``, ``fit_to_template()``)."""
+
+    def __init__(self, method: str = "macenko", alpha: float = 1.0):
+        if method not in ("macenko", "reinhard"):
+            raise ValueError(f"unknown stain normalization method {method!r}")
+        self.method = method
+        self.alpha = float(alpha)
+        self.ref_stains = jnp.asarray(DEFAULT_STAIN_MATRIX)
+        self.ref_max_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
+        self.lab_mean = jnp.asarray(DEFAULT_LAB_MEAN)
+        self.lab_std = jnp.asarray(DEFAULT_LAB_STD)
+
+    def fit_to_template(self, template_rgb: np.ndarray) -> "StainNormalizer":
+        """Re-derive reference statistics from a template image
+        (reference :204-259)."""
+        img = jnp.asarray(template_rgb)
+        flat = img.reshape(-1, 3)
+        if self.method == "macenko":
+            stains = estimate_stain_matrix(flat, alpha=self.alpha)
+            conc = stain_concentrations(flat, stains)
+            od = rgb_to_od(flat)
+            tissue = jnp.all(od > _TRANSPARENT_OD, axis=-1)
+            self.ref_stains = stains
+            self.ref_max_c = jnp.stack([
+                _percentile_masked(conc[0], tissue, 99.0),
+                _percentile_masked(conc[1], tissue, 99.0),
+            ])
+        else:
+            lab = rgb_to_lab(img)
+            self.lab_mean = jnp.mean(lab, axis=(0, 1))
+            self.lab_std = jnp.std(lab, axis=(0, 1))
+        return self
+
+    def normalize(self, patches: np.ndarray) -> np.ndarray:
+        """Normalize [H,W,3] or [B,H,W,3] uint8 patches; returns uint8."""
+        arr = jnp.asarray(patches)
+        single = arr.ndim == 3
+        if single:
+            arr = arr[None]
+        if self.method == "macenko":
+            out = macenko_normalize_batch(arr, self.ref_stains, self.ref_max_c,
+                                          alpha=self.alpha)
+        else:
+            out = reinhard_normalize_batch(arr, self.lab_mean, self.lab_std)
+        out_np = np.asarray(jnp.round(out).astype(jnp.uint8))
+        return out_np[0] if single else out_np

@@ -1,0 +1,194 @@
+"""Data-layer tests: graph IO, datasets, bucketed loading, datamodule."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dgdm_histopath_tpu.data import (
+    BucketedLoader, GraphDataset, HistopathDataModule, HistopathDataset,
+    SlideDataset, augment_patches, empty_graph, load_graph, load_labels,
+    save_graph,
+)
+from dgdm_histopath_tpu.preprocessing import (
+    SlideProcessor, TissueGraphBuilder, synthetic_slide, write_synthetic_tiff,
+)
+
+from conftest import make_synthetic_graph
+
+
+class TestGraphIO:
+    def test_npz_roundtrip(self, tmp_path):
+        g = make_synthetic_graph(n_nodes=32, n_real=20, feat_dim=16)
+        p = save_graph(g, tmp_path / "g_graph.npz")
+        loaded = load_graph(p)
+        np.testing.assert_array_equal(np.asarray(loaded.x), np.asarray(g.x))
+        np.testing.assert_array_equal(np.asarray(loaded.nbr_idx), np.asarray(g.nbr_idx))
+        assert loaded.y is None
+
+    def test_h5_reference_layout(self, tmp_path):
+        import h5py
+        rs = np.random.RandomState(0)
+        x = rs.randn(10, 8).astype(np.float32)
+        ei = np.array([[0, 1, 2], [1, 2, 3]])
+        with h5py.File(tmp_path / "ref.h5", "w") as f:
+            f.create_dataset("node_features", data=x)
+            f.create_dataset("edge_index", data=ei)
+            f.create_dataset("pos", data=rs.rand(10, 2).astype(np.float32))
+            f.create_dataset("label", data=np.asarray(1))
+        g = load_graph(tmp_path / "ref.h5")
+        assert int(g.n_real_nodes) == 10
+        assert int(g.y) == 1
+
+
+class TestAugmentations:
+    def test_shapes_preserved(self):
+        rs = np.random.RandomState(0)
+        patches = rs.randint(0, 255, (5, 16, 16, 3)).astype(np.uint8)
+        for level in ("none", "light", "strong"):
+            out = augment_patches(patches, level, np.random.RandomState(1))
+            assert out.shape == patches.shape
+            assert out.dtype == np.uint8
+
+    def test_none_is_identity(self):
+        patches = np.ones((2, 8, 8, 3), np.uint8)
+        out = augment_patches(patches, "none", np.random.RandomState(0))
+        np.testing.assert_array_equal(out, patches)
+
+
+class TestDatasets:
+    def _write_graphs(self, tmp_path, n=6):
+        paths = []
+        for i in range(n):
+            g = make_synthetic_graph(seed=i, n_nodes=32, n_real=20, feat_dim=16)
+            paths.append(save_graph(g, tmp_path / f"slide{i}_graph.npz"))
+        return paths
+
+    def test_histopath_dataset_discovery(self, tmp_path):
+        self._write_graphs(tmp_path)
+        ds = HistopathDataset(tmp_path, dataset_type="graph")
+        assert len(ds) == 6
+        g = ds[0]
+        assert g.num_nodes == 32
+        # cache hit returns same object
+        assert ds[0] is g
+
+    def test_labels_csv(self, tmp_path):
+        self._write_graphs(tmp_path, 3)
+        (tmp_path / "labels.csv").write_text(
+            "slide_id,label\nslide0,1\nslide1,0\nslide2,1\n")
+        ds = HistopathDataset(tmp_path, dataset_type="graph",
+                              metadata_path=tmp_path / "labels.csv")
+        assert int(ds[0].y) == 1
+        assert int(ds[1].y) == 0
+
+    def test_labels_json(self, tmp_path):
+        import json
+        p = tmp_path / "labels.json"
+        p.write_text(json.dumps({"a": 1, "b": 0}))
+        labels = load_labels(p)
+        assert labels == {"a": 1, "b": 0}
+
+    def test_graph_dataset_subsample(self, tmp_path):
+        g = make_synthetic_graph(seed=0, n_nodes=64, n_real=50, feat_dim=8)
+        p = save_graph(g, tmp_path / "big_graph.npz")
+        ds = GraphDataset([p], max_nodes=20)
+        out = ds[0]
+        assert int(out.n_real_nodes) == 20
+        # surviving edges only reference surviving nodes
+        mask = np.asarray(out.node_mask)
+        idx = np.asarray(out.nbr_idx)
+        em = np.asarray(out.nbr_mask)
+        assert mask[idx[em]].all()
+
+    def test_slide_dataset_end_to_end(self, tmp_path):
+        paths = [write_synthetic_tiff(tmp_path / f"s{i}.tiff", 512, 512,
+                                      num_levels=3, seed=i) for i in range(2)]
+        proc = SlideProcessor(patch_size=32, tissue_threshold=0.3,
+                              max_patches=20, stain_normalize=False)
+        builder = TissueGraphBuilder(feature_extractor="none",
+                                     node_buckets=[32])
+        ds = SlideDataset(paths, processor=proc, graph_builder=builder,
+                          labels={"s0": 0, "s1": 1})
+        g0 = ds[0]
+        assert g0.num_nodes == 32
+        assert int(g0.y) == 0
+        assert int(ds[1].y) == 1
+
+    def test_slide_dataset_preprocess_all(self, tmp_path):
+        paths = [write_synthetic_tiff(tmp_path / "w.tiff", 512, 512, num_levels=3)]
+        proc = SlideProcessor(patch_size=32, tissue_threshold=0.3,
+                              max_patches=20, stain_normalize=False)
+        builder = TissueGraphBuilder(feature_extractor="none", node_buckets=[32])
+        ds = SlideDataset(paths, processor=proc, graph_builder=builder,
+                          cache_graphs=False)
+        written = ds.preprocess_all(tmp_path / "graphs")
+        assert len(written) == 1
+        # reload goes through the preprocessed file
+        g = ds[0]
+        assert g.num_nodes == 32
+
+    def test_error_fallback_empty_graph(self, tmp_path):
+        bad = tmp_path / "corrupt.tiff"
+        bad.write_bytes(b"not a tiff")
+        builder = TissueGraphBuilder(feature_extractor="none", node_buckets=[16])
+        ds = SlideDataset([bad], graph_builder=builder)
+        g = ds[0]
+        assert int(g.n_real_nodes) == 0  # all-padding fallback
+        assert g.num_nodes == 16
+
+
+class TestBucketedLoading:
+    def test_batches_same_bucket(self):
+        gs = [make_synthetic_graph(seed=i, n_nodes=32, n_real=20, feat_dim=8)
+              for i in range(4)]
+        gs += [make_synthetic_graph(seed=i, n_nodes=64, n_real=40, feat_dim=8)
+               for i in range(3)]
+        loader = BucketedLoader(gs, batch_size=2, prefetch=0)
+        batches = list(loader)
+        shapes = sorted(b.x.shape for b in batches)
+        # 4 graphs @32 -> 2 batches; 3 @64 -> 2 batches (one padded)
+        assert len(batches) == 4
+        for b in batches:
+            assert b.x.shape[0] == 2
+
+    def test_padding_masked_out(self):
+        gs = [make_synthetic_graph(seed=0, n_nodes=32, n_real=20, feat_dim=8)]
+        loader = BucketedLoader(gs, batch_size=3, prefetch=0)
+        (batch,) = list(loader)
+        assert batch.x.shape[0] == 3
+        real = np.asarray(batch.node_mask).any(axis=-1)
+        assert real.tolist() == [True, False, False]
+
+    def test_prefetch_thread(self):
+        gs = [make_synthetic_graph(seed=i, n_nodes=32, n_real=20, feat_dim=8)
+              for i in range(5)]
+        assert len(list(BucketedLoader(gs, 2, prefetch=2))) == 3
+
+    def test_shuffle_determinism(self):
+        gs = [make_synthetic_graph(seed=i, n_nodes=32, n_real=20, feat_dim=8)
+              for i in range(6)]
+        l1 = BucketedLoader(gs, 2, shuffle=True, seed=7, prefetch=0)
+        l2 = BucketedLoader(gs, 2, shuffle=True, seed=7, prefetch=0)
+        b1 = [np.asarray(b.x) for b in l1]
+        b2 = [np.asarray(b.x) for b in l2]
+        for a, b in zip(b1, b2):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestDataModule:
+    def test_splits_and_loaders(self):
+        gs = [make_synthetic_graph(seed=i, n_nodes=32, n_real=20, feat_dim=8,
+                                   num_classes=2) for i in range(10)]
+        dm = HistopathDataModule(gs, batch_size=2, train_split=0.6,
+                                 val_split=0.2, test_split=0.2, prefetch=0)
+        dm.setup()
+        info = dm.get_dataset_info()
+        assert info["train"] == 6 and info["val"] == 2 and info["test"] == 2
+        train_batches = list(dm.train_dataloader())
+        assert sum(b.x.shape[0] for b in train_batches) >= 6
+
+    def test_invalid_splits(self):
+        from dgdm_histopath_tpu.utils.exceptions import DataError
+        with pytest.raises(DataError):
+            HistopathDataModule([], train_split=0.5, val_split=0.5, test_split=0.5)
