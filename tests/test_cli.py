@@ -1,0 +1,125 @@
+"""CLI + quality-gate tests: drive the console entry points end-to-end on
+synthetic fixtures (the workflow the reference documents in its README)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dgdm_histopath_tpu.preprocessing import write_synthetic_tiff
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    slides = d / "slides"
+    slides.mkdir()
+    for i in range(3):
+        write_synthetic_tiff(slides / f"case{i}.tiff", 384, 384, num_levels=3,
+                             seed=i)
+    (d / "labels.csv").write_text(
+        "slide_id,label\n" + "\n".join(f"case{i},{i % 2}" for i in range(3)))
+    return d
+
+
+class TestPreprocessCLI:
+    def test_process_and_build(self, fixture_dir):
+        from dgdm_histopath_tpu.cli.preprocess import main
+        rc = main(["process-slides", "--input-dir", str(fixture_dir / "slides"),
+                   "--output-dir", str(fixture_dir / "h5"),
+                   "--patch-size", "32", "--tissue-threshold", "0.3",
+                   "--max-patches", "15", "--num-workers", "2"])
+        assert rc == 0
+        assert len(list((fixture_dir / "h5").glob("*.h5"))) == 3
+
+        rc = main(["build-graphs", "--input-dir", str(fixture_dir / "h5"),
+                   "--output-dir", str(fixture_dir / "graphs"),
+                   "--feature-extractor", "none", "--node-buckets", "16,32"])
+        assert rc == 0
+        assert len(list((fixture_dir / "graphs").glob("*_graph.npz"))) == 3
+
+        rc = main(["validate-preprocessing", "--dir", str(fixture_dir)])
+        assert rc == 0
+
+    def test_no_slides_error(self, tmp_path):
+        from dgdm_histopath_tpu.cli.preprocess import main
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        rc = main(["process-slides", "--input-dir", str(empty),
+                   "--output-dir", str(tmp_path / "out")])
+        assert rc == 1
+
+
+class TestTrainPredictCLI:
+    def test_train_then_predict(self, fixture_dir):
+        from dgdm_histopath_tpu.cli.predict import main as predict_main
+        from dgdm_histopath_tpu.cli.train import main as train_main
+        # ensure graphs exist (depends on previous test order; rebuild if not)
+        if not (fixture_dir / "graphs").exists():
+            from dgdm_histopath_tpu.cli.preprocess import main as pre
+            pre(["process-slides", "--input-dir", str(fixture_dir / "slides"),
+                 "--output-dir", str(fixture_dir / "h5"), "--patch-size", "32",
+                 "--tissue-threshold", "0.3", "--max-patches", "15"])
+            pre(["build-graphs", "--input-dir", str(fixture_dir / "h5"),
+                 "--output-dir", str(fixture_dir / "graphs"),
+                 "--feature-extractor", "none", "--node-buckets", "16,32"])
+        out = fixture_dir / "run"
+        rc = train_main([
+            "--data-dir", str(fixture_dir / "graphs"), "--dataset-type", "graph",
+            "--metadata", str(fixture_dir / "labels.csv"),
+            "--output-dir", str(out),
+            "--node-features", "5", "--hidden-dims", "16,8",
+            "--attention-heads", "4", "--graph-layers", "1",
+            "--num-diffusion-steps", "3", "--num-classes", "2",
+            "--max-epochs", "2", "--pretrain-epochs", "1",
+            "--batch-size", "2", "--learning-rate", "1e-3", "--seed", "0"])
+        assert rc == 0
+        assert (out / "final_model.npz").exists()
+        assert (out / "config_snapshot.yaml").exists()
+        history = json.loads((out / "history.json").read_text())
+        assert len(history) == 2
+        assert history[0]["phase"] == "pretrain"
+        assert history[1]["phase"] == "finetune"
+
+        preds = fixture_dir / "preds"
+        rc = predict_main([
+            "--model", str(out / "final_model.npz"),
+            "--input", str(fixture_dir / "graphs"),
+            "--output-dir", str(preds), "--format", "both"])
+        assert rc == 0
+        files = list(preds.glob("*.json"))
+        assert len(files) == 3
+        result = json.loads(files[0].read_text())
+        assert "probabilities" in result and "uncertainty" in result
+        assert (preds / "predictions.csv").exists()
+
+    def test_missing_model_error(self, tmp_path):
+        from dgdm_histopath_tpu.cli.predict import main
+        from dgdm_histopath_tpu.utils.exceptions import InferenceError
+        with pytest.raises(InferenceError):
+            main(["--model", str(tmp_path / "missing.npz"),
+                  "--input", str(tmp_path)])
+
+
+class TestQualityGates:
+    def test_runner_development_level(self):
+        from dgdm_histopath_tpu.testing.quality_gates import QualityGateRunner
+        runner = QualityGateRunner(level="development")
+        report = runner.run(["imports", "config", "model_construction",
+                             "model_forward", "input_validation"])
+        assert report["passed"], report
+        assert report["score"] == 1.0
+
+    def test_cli(self, capsys):
+        from dgdm_histopath_tpu.cli.quality_gates import main
+        rc = main(["--level", "greenfield", "--gates", "imports,config"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0
+        assert out["passed"] is True
+
+    def test_unknown_gate_reported(self):
+        from dgdm_histopath_tpu.testing.quality_gates import QualityGateRunner
+        report = QualityGateRunner().run(["imports", "nonexistent"])
+        statuses = {g["name"]: g["status"] for g in report["gates"]}
+        assert statuses["nonexistent"] == "unknown"

@@ -1,0 +1,190 @@
+"""Evaluation tests: metrics golden values, predictor end-to-end, visualizer."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dgdm_histopath_tpu.evaluation import (
+    AttentionVisualizer, DGDMPredictor, bootstrap_ci,
+    compute_classification_metrics, compute_clinical_metrics,
+    compute_graph_statistics, compute_regression_metrics,
+    compute_segmentation_metrics, concordance_index,
+)
+from dgdm_histopath_tpu.models import DGDMModel
+from dgdm_histopath_tpu.preprocessing import (
+    SlideProcessor, TissueGraphBuilder, synthetic_slide,
+)
+from dgdm_histopath_tpu.training.checkpoint import save_model_bundle
+
+from conftest import make_synthetic_graph
+
+
+class TestMetrics:
+    def test_classification_perfect(self):
+        labels = np.array([0, 1, 0, 1])
+        probs = np.array([[0.9, 0.1], [0.1, 0.9], [0.8, 0.2], [0.2, 0.8]])
+        m = compute_classification_metrics(labels, probs)
+        assert m["accuracy"] == 1.0
+        assert m["auc"] == 1.0
+        assert m["f1"] == 1.0
+
+    def test_auc_matches_sklearn(self):
+        from sklearn.metrics import average_precision_score, roc_auc_score
+        rs = np.random.RandomState(0)
+        labels = rs.randint(0, 2, 200)
+        scores = rs.rand(200)
+        probs = np.stack([1 - scores, scores], 1)
+        m = compute_classification_metrics(labels, probs)
+        assert m["auc"] == pytest.approx(roc_auc_score(labels, scores), abs=1e-6)
+        assert m["pr_auc"] == pytest.approx(
+            average_precision_score(labels, scores), abs=1e-6)
+
+    def test_multiclass_ovr_auc(self):
+        rs = np.random.RandomState(1)
+        labels = rs.randint(0, 3, 120)
+        logits = rs.randn(120, 3)
+        probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        m = compute_classification_metrics(labels, probs)
+        assert 0.0 <= m["auc"] <= 1.0
+        assert np.asarray(m["confusion_matrix"]).shape == (3, 3)
+
+    def test_regression_golden(self):
+        t = np.array([1.0, 2.0, 3.0])
+        p = np.array([1.0, 2.0, 3.0])
+        m = compute_regression_metrics(t, p)
+        assert m["mse"] == 0.0 and m["r2"] == 1.0
+
+    def test_concordance_index(self):
+        times = np.array([1.0, 2.0, 3.0, 4.0])
+        events = np.array([1, 1, 1, 1])
+        perfect = concordance_index(times, np.array([4.0, 3.0, 2.0, 1.0]), events)
+        inverted = concordance_index(times, np.array([1.0, 2.0, 3.0, 4.0]), events)
+        assert perfect == 1.0
+        assert inverted == 0.0
+
+    def test_segmentation(self):
+        a = np.zeros((10, 10), bool); a[:5] = True
+        m = compute_segmentation_metrics(a, a)
+        assert m["dice"] == pytest.approx(1.0)
+        b = np.zeros((10, 10), bool)
+        m2 = compute_segmentation_metrics(a, b)
+        assert m2["iou"] == pytest.approx(0.0, abs=1e-4)
+
+    def test_clinical(self):
+        labels = np.array([1, 1, 0, 0])
+        preds = np.array([1, 0, 0, 1])
+        m = compute_clinical_metrics(labels, preds)
+        assert m["sensitivity"] == 0.5 and m["specificity"] == 0.5
+
+    def test_graph_statistics(self):
+        g = make_synthetic_graph(n_nodes=32, n_real=20, feat_dim=8)
+        s = compute_graph_statistics(g)
+        assert s["num_nodes"] == 20
+        assert s["num_edges"] > 0
+
+    def test_bootstrap_ci(self):
+        rs = np.random.RandomState(0)
+        labels = rs.randint(0, 2, 100)
+        scores = labels * 0.5 + rs.rand(100) * 0.5
+        from dgdm_histopath_tpu.evaluation.metrics import _roc_auc
+        ci = bootstrap_ci(_roc_auc, labels, scores, n_bootstrap=100)
+        assert ci["lower"] <= ci["value"] <= ci["upper"]
+
+
+class TestPredictor:
+    def _model_and_params(self, num_classes=3):
+        model = DGDMModel(node_features=5, hidden_dims=(32, 16),
+                          num_diffusion_steps=4, attention_heads=4,
+                          graph_layers=2, num_classes=num_classes,
+                          use_hierarchical=False, compute_dtype="float32")
+        g = make_synthetic_graph(n_nodes=32, n_real=20, feat_dim=5)
+        batched = jax.tree_util.tree_map(
+            lambda a: a[None] if hasattr(a, "ndim") else a, g)
+        rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+                "masking": jax.random.PRNGKey(2)}
+        params = model.init(rngs, batched, mode="pretrain", deterministic=True)
+        return model, params
+
+    def test_predict_slide_end_to_end(self):
+        model, params = self._model_and_params()
+        backend, _ = synthetic_slide(512, 512, num_levels=3, seed=5)
+        pred = DGDMPredictor(model=model, params=params, patch_size=32,
+                             max_patches=30, feature_extractor="none",
+                             tissue_threshold=0.3, stain_normalize=False,
+                             node_buckets=[32, 64])
+        result = pred.predict_slide(backend, slide_id="e2e")
+        assert result["slide_id"] == "e2e"
+        assert result["probabilities"].shape == (3,)
+        assert 0 <= result["predicted_class"] < 3
+        assert "attention_weights" in result
+        assert len(result["biomarkers"]) > 0
+        assert result["uncertainty"]["entropy"] >= 0.0
+
+    def test_predict_batch_really_batches(self):
+        model, params = self._model_and_params()
+        pred = DGDMPredictor(model=model, params=params, feature_extractor="none")
+        graphs = [make_synthetic_graph(seed=i, n_nodes=32, n_real=20, feat_dim=5)
+                  for i in range(3)]
+        results = pred.predict_batch(graphs)
+        assert len(results) == 3
+        # batched result == single result
+        single = pred.predict_graph(graphs[0])
+        np.testing.assert_allclose(results[0]["probabilities"],
+                                   single["probabilities"], atol=1e-5)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        model, params = self._model_and_params(num_classes=2)
+        cfg = dict(node_features=5, hidden_dims=(32, 16), num_diffusion_steps=4,
+                   attention_heads=4, graph_layers=2, num_classes=2,
+                   use_hierarchical=False, compute_dtype="float32")
+        path = save_model_bundle(tmp_path / "model.npz", params, cfg)
+        pred = DGDMPredictor(model_path=path, feature_extractor="none")
+        info = pred.get_model_info()
+        assert info["num_classes"] == 2
+        g = make_synthetic_graph(n_nodes=32, n_real=20, feat_dim=5)
+        r = pred.predict_graph(g)
+        assert r["probabilities"].shape == (2,)
+        # deterministic across instantiations (bit-matching logits target)
+        pred2 = DGDMPredictor(model_path=path, feature_extractor="none")
+        r2 = pred2.predict_graph(g)
+        np.testing.assert_array_equal(r["logits"], r2["logits"])
+
+    def test_uncertainty_golden(self):
+        u = DGDMPredictor.compute_uncertainty(np.array([0.5, 0.5]))
+        assert u["entropy"] == pytest.approx(np.log(2))
+        assert u["normalized_entropy"] == pytest.approx(1.0)
+        assert u["margin"] == pytest.approx(0.0)
+
+
+class TestVisualizer:
+    def test_figures_save(self, tmp_path):
+        viz = AttentionVisualizer()
+        g = make_synthetic_graph(n_nodes=32, n_real=20, feat_dim=8)
+        pos = np.asarray(g.pos)
+        mask = np.asarray(g.node_mask)
+        attn = np.random.RandomState(0).rand(32)
+        p1 = viz.attention_heatmap(pos, attn, mask, save_path=tmp_path / "a.png")
+        p2 = viz.render_graph(pos, np.asarray(g.nbr_idx), np.asarray(g.nbr_mask),
+                              mask, node_values=attn, save_path=tmp_path / "g.png")
+        p3 = viz.biomarker_chart(
+            [{"rank": 1, "attention_score": 0.5},
+             {"rank": 2, "attention_score": 0.3}], save_path=tmp_path / "b.png")
+        p4 = viz.uncertainty_plot([{"entropy": 0.2}, {"entropy": 0.7}],
+                                  save_path=tmp_path / "u.png")
+        for p in (p1, p2, p3, p4):
+            assert p.exists() and p.stat().st_size > 0
+
+    def test_prediction_summary(self, tmp_path):
+        viz = AttentionVisualizer()
+        result = {
+            "slide_id": "s", "probabilities": np.array([0.2, 0.8]),
+            "predicted_class": 1, "confidence": 0.8,
+            "attention_weights": np.random.rand(10),
+            "patch_info": [{"x": i * 10, "y": i * 5} for i in range(10)],
+            "uncertainty": {"entropy": 0.5, "normalized_entropy": 0.7,
+                            "max_probability": 0.8, "margin": 0.6},
+        }
+        p = viz.prediction_summary(result, class_names=["benign", "tumor"],
+                                   save_path=tmp_path / "summary.png")
+        assert p.exists()
