@@ -138,12 +138,23 @@ class SpatialAttention(nn.Module):
     ``-pairwise_distance / tau``. Batched over graphs — the reference's
     per-graph Python loop (``models/dgdm_model.py:340-368``) becomes a single
     masked [B, N, N] attention.
+
+    When ``use_flash`` and the bucket tiles cleanly (N % 128 == 0,
+    head_dim % 128 == 0), the score/weight matrices are never materialized:
+    the fused Pallas kernel (``ops.pallas.flash_spatial``) computes the
+    distance bias on the fly with online softmax. ``return_weights`` always
+    takes the dense path (heatmaps need the [N, N] weights).
+
+    Default is off: this image's remote-compile tunnel stalls on Mosaic
+    kernels (kernel correctness is covered in interpret mode by
+    tests/test_pallas.py); flip ``use_flash=True`` on direct-attached TPUs.
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     distance_tau: float = 0.1
+    use_flash: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -159,19 +170,39 @@ class SpatialAttention(nn.Module):
         pos_enc = sinusoidal_position_encoding_2d(pos, self.embed_dim).astype(x.dtype)
         h = x + nn.Dense(self.embed_dim, name="pos_proj", dtype=self.dtype,
                          param_dtype=self.param_dtype)(pos_enc)
-        # distance bias: -||p_i - p_j|| / tau  (reference :261-283)
-        diff = pos[..., :, None, :] - pos[..., None, :, :]
-        dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
-        bias = (-dist / self.distance_tau)[..., None, :, :]   # [B, 1, N, N]
-        attn = MultiHeadAttention(
-            embed_dim=self.embed_dim, num_heads=self.num_heads,
-            dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="attn",
-        )
-        out = attn(h, key_mask=node_mask, bias=bias, deterministic=deterministic,
-                   return_weights=return_weights)
-        if return_weights:
-            out, weights = out
+
+        n = x.shape[-2]
+        head_dim = self.embed_dim // self.num_heads
+        flash_ok = (self.use_flash and not return_weights
+                    and n % 128 == 0 and head_dim % 128 == 0)
+
+        # shared projections for both paths (identical param structure)
+        dg = lambda name: nn.DenseGeneral(
+            features=(self.num_heads, head_dim), name=name,
+            dtype=self.dtype, param_dtype=self.param_dtype)
+        q, k_, v_ = dg("q_proj")(h), dg("k_proj")(h), dg("v_proj")(h)
+
+        weights = None
+        if flash_ok:
+            from ..ops.pallas.flash_spatial import flash_spatial_attention
+            ctx = flash_spatial_attention(
+                q, k_, v_, pos.astype(jnp.float32), node_mask,
+                tau=self.distance_tau)
+        else:
+            # dense path: explicit [B, 1, N, N] distance bias
+            diff = pos[..., :, None, :] - pos[..., None, :, :]
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
+            bias = (-dist / self.distance_tau)[..., None, :, :]
+            dropout_rng = None
+            if self.dropout > 0.0 and not deterministic:
+                dropout_rng = self.make_rng("dropout")
+            ctx, weights = scaled_dot_product_attention(
+                q, k_, v_, bias=bias, key_mask=node_mask,
+                dropout_rng=dropout_rng, dropout_rate=self.dropout,
+                deterministic=deterministic)
+        out = nn.DenseGeneral(
+            features=self.embed_dim, axis=(-2, -1), name="out_proj",
+            dtype=self.dtype, param_dtype=self.param_dtype)(ctx.astype(self.dtype))
         out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x + out)
         out = out * node_mask[..., None].astype(out.dtype)
         if return_weights:

@@ -1,0 +1,199 @@
+"""Pallas TPU kernel: flash-style masked attention with spatial distance bias.
+
+This fuses the DGDM spatial-attention bottleneck (SURVEY §5.7: the dense
+N×N distance-biased attention is the quadratic memory cap; reference
+``core/attention.py:261-327``) into a single kernel:
+
+  * never materializes the [N, N] score/weight matrices in HBM;
+  * computes the pairwise-distance bias (−‖p_i − p_j‖ / τ) on the fly from
+    the [N, 2] coordinates inside the kernel;
+  * online-softmax accumulation in f32, tiles sized for the MXU.
+
+Layout: q/k/v are [B*H, N, D] (head-major), pos/mask broadcast per B.
+Grid: (BH, num_q_blocks); each program streams all K-blocks for one Q-block.
+
+Falls back to interpret mode off-TPU (tests), and the public wrapper routes
+through a custom VJP whose backward re-runs the reference jnp path (the
+forward is the inference-critical path; training keeps full fidelity).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, mask_ref, o_ref,
+                  *, block_k: int, scale: float, inv_tau: float):
+    """One (bh, q-block) program: stream K-blocks with online softmax.
+
+    q_ref [bq, D]; qpos_ref [bq, 128] (first 2 lanes = coords);
+    k_ref/v_ref [N, D]; kpos_ref [N, 128]; mask_ref [1, N]; o_ref [bq, D].
+    """
+    bq = q_ref.shape[0]
+    n = k_ref.shape[0]
+    d = q_ref.shape[1]
+
+    q = q_ref[:].astype(jnp.float32) * scale                   # [bq, D]
+    qpos = qpos_ref[:, 0:2].astype(jnp.float32)                # [bq, 2]
+
+    # online softmax state
+    m_i = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    num_kb = n // block_k
+
+    def body(kb, carry):
+        m_i, l_i, acc = carry
+        ks = kb * block_k
+        k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)      # [bk, D]
+        v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
+        kpos = kpos_ref[pl.ds(ks, block_k), 0:2].astype(jnp.float32)  # [bk, 2]
+        kmask = mask_ref[0, pl.ds(ks, block_k)]                        # [bk]
+
+        scores = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        # distance bias from coords: -|pq - pk| / tau
+        d2 = (jnp.sum(qpos * qpos, -1, keepdims=True)
+              - 2.0 * jnp.dot(qpos, kpos.T, preferred_element_type=jnp.float32)
+              + jnp.sum(kpos * kpos, -1)[None, :])
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        scores = scores - dist * inv_tau
+        scores = jnp.where(kmask[None, :] > 0, scores, NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)                                   # [bq, bk]
+        # guard: when every key so far is masked, scores == m_new == NEG_INF
+        # and exp(0) would give masked slots weight 1 — zero them explicitly
+        p = p * (kmask[None, :] > 0).astype(jnp.float32)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v_blk,
+                                        preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m_i, l_i, acc))
+    o_ref[:] = (acc / jnp.maximum(l_i, 1e-20)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, pos, node_mask, tau: float,
+                   block_q: int, block_k: int, interpret: bool):
+    """q/k/v [BH, N, D]; pos [BH, N, 2]; node_mask [BH, N] -> [BH, N, D]."""
+    bh, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    # pad pos to lane width for clean VMEM tiling; lanes beyond 2 unused
+    pos_pad = jnp.pad(pos, ((0, 0), (0, 0), (0, 126)))
+    grid = (bh, n // block_q)
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
+                               inv_tau=1.0 / tau)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),      # q block
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),      # q-block coords
+            pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),      # full k
+            pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),      # full v
+            pl.BlockSpec((None, n, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),      # full coords for K blocks
+            pl.BlockSpec((None, 1, n), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),      # mask
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, pos_pad, k, v, pos_pad, node_mask[:, None, :].astype(jnp.int32))
+
+
+def _dense_reference(q, k, v, pos, node_mask, tau):
+    """jnp reference path (also the backward)."""
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    diff = pos[:, :, None, :] - pos[:, None, :, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
+    scores = scores - dist / tau
+    scores = jnp.where(node_mask[:, None, :], scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnm,bmd->bnd", w, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_spatial(q, k, v, pos, node_mask, tau, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, pos, node_mask, tau, block_q, block_k,
+                          interpret)
+
+
+def _fwd(q, k, v, pos, node_mask, tau, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, pos, node_mask, tau, block_q, block_k,
+                         interpret)
+    return out, (q, k, v, pos, node_mask)
+
+
+def _bwd(tau, block_q, block_k, interpret, residuals, g):
+    q, k, v, pos, node_mask = residuals
+    # recompute through the dense path for exact gradients
+    _, vjp = jax.vjp(lambda q_, k_, v_: _dense_reference(q_, k_, v_, pos,
+                                                         node_mask, tau),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(pos), None
+
+
+_flash_spatial.defvjp(_fwd, _bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def flash_spatial_attention(
+    q: jnp.ndarray,          # [B, N, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos: jnp.ndarray,        # [B, N, 2]
+    node_mask: jnp.ndarray,  # [B, N]
+    tau: float = 0.1,
+    block_q: int = 128,
+    block_k: int = 128,
+    force_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Distance-biased masked attention without materializing [N, N].
+
+    Returns [B, N, H, D]. Uses the Pallas kernel when shapes tile cleanly
+    (N divisible by the block sizes), else the dense jnp path.
+    """
+    b, n, h, d = q.shape
+    usable = (n % block_q == 0 and n % block_k == 0 and d % 128 == 0
+              and n >= block_q)
+    use_pallas = usable if force_pallas is None else (force_pallas and usable)
+    # head-major flatten: [B*H, N, D]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    posf = jnp.repeat(pos, h, axis=0)
+    maskf = jnp.repeat(node_mask, h, axis=0)
+    if use_pallas:
+        out = _flash_spatial(qf, kf, vf, posf, maskf, tau, block_q, block_k,
+                             not _on_tpu())
+    else:
+        out = _dense_reference(qf, kf, vf, posf, maskf, tau)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,108 @@
+"""Pallas kernel tests (interpret mode on CPU; same code path as TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgdm_histopath_tpu.ops.pallas.flash_spatial import (
+    _dense_reference, flash_spatial_attention,
+)
+
+
+def _inputs(B=2, N=256, H=2, D=128, masked_from=200, seed=0):
+    rs = np.random.RandomState(seed)
+    q = jnp.asarray(rs.randn(B, N, H, D), jnp.float32)
+    k = jnp.asarray(rs.randn(B, N, H, D), jnp.float32)
+    v = jnp.asarray(rs.randn(B, N, H, D), jnp.float32)
+    pos = jnp.asarray(rs.rand(B, N, 2), jnp.float32)
+    mask = np.ones((B, N), bool)
+    mask[:, masked_from:] = False
+    return q, k, v, pos, jnp.asarray(mask), mask
+
+
+def _dense(q, k, v, pos, mask, tau=0.1):
+    B, N, H, D = q.shape
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    out = _dense_reference(qf, kf, vf, jnp.repeat(pos, H, 0),
+                           jnp.repeat(mask, H, 0), tau)
+    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+
+
+class TestFlashSpatial:
+    def test_matches_dense_reference(self):
+        q, k, v, pos, mask, mask_np = _inputs()
+        out_p = flash_spatial_attention(q, k, v, pos, mask, tau=0.1,
+                                        force_pallas=True)
+        out_d = _dense(q, k, v, pos, mask)
+        valid = mask_np[:, :, None, None]
+        diff = np.abs(np.asarray(out_p) - np.asarray(out_d)) * valid
+        assert diff.max() < 1e-4
+
+    def test_fully_masked_tail_contributes_nothing(self):
+        q, k, v, pos, mask, mask_np = _inputs(masked_from=128)
+        out1 = flash_spatial_attention(q, k, v, pos, mask, force_pallas=True)
+        # change masked-out v rows: output on valid rows must not change
+        v2 = v.at[:, 128:].set(99.0)
+        out2 = flash_spatial_attention(q, k, v2, pos, mask, force_pallas=True)
+        valid = mask_np[:, :, None, None]
+        np.testing.assert_allclose(np.asarray(out1) * valid,
+                                   np.asarray(out2) * valid, atol=1e-5)
+
+    def test_distance_bias_effect(self):
+        # with tiny tau, attention should collapse onto the nearest neighbor
+        q, k, v, pos, mask, _ = _inputs(masked_from=256)
+        # sharp softmax amplifies the numeric difference between the kernel's
+        # |a|^2-2ab+|b|^2 distance expansion and the dense diff-based form
+        out_smalltau = flash_spatial_attention(q, k, v, pos, mask, tau=1e-3,
+                                               force_pallas=True)
+        d = _dense(q, k, v, pos, mask, tau=1e-3)
+        np.testing.assert_allclose(np.asarray(out_smalltau), np.asarray(d),
+                                   atol=5e-3)
+
+    def test_gradients_flow(self):
+        q, k, v, pos, mask, mask_np = _inputs(N=128, masked_from=128)
+
+        def loss(q_, k_, v_):
+            o = flash_spatial_attention(q_, k_, v_, pos, mask,
+                                        force_pallas=True)
+            return jnp.sum(o ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for g in (gq, gk, gv):
+            assert bool(jnp.all(jnp.isfinite(g)))
+            assert float(jnp.abs(g).max()) > 0
+
+        # gradient matches the dense path's gradient
+        def dense_loss(q_, k_, v_):
+            return jnp.sum(_dense(q_, k_, v_, pos, mask) ** 2)
+
+        dq_ref = jax.grad(dense_loss)(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(dq_ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_fallback_on_nontiling_shapes(self):
+        # N=100 doesn't tile: wrapper must fall back to dense silently
+        q, k, v, pos, mask, _ = _inputs(N=100, masked_from=100, D=128)
+        out = flash_spatial_attention(q, k, v, pos, mask)
+        assert out.shape == q.shape
+
+    def test_spatial_attention_module_flash_parity(self):
+        """SpatialAttention(use_flash=True) == use_flash=False numerically."""
+        from dgdm_histopath_tpu.nn.attention import SpatialAttention
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(2, 128, 128), jnp.float32)
+        pos = jnp.asarray(rs.rand(2, 128, 2), jnp.float32)
+        mask = jnp.asarray(np.ones((2, 128), bool))
+        flash = SpatialAttention(embed_dim=128, num_heads=1, use_flash=True,
+                                 dtype=jnp.float32)
+        dense = SpatialAttention(embed_dim=128, num_heads=1, use_flash=False,
+                                 dtype=jnp.float32)
+        params = flash.init(jax.random.PRNGKey(0), x, pos, mask)
+        out_f = flash.apply(params, x, pos, mask)
+        out_d = dense.apply(params, x, pos, mask)   # same params!
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                                   atol=2e-4)

@@ -1,0 +1,311 @@
+"""Utils tests: config, validation, resilience, security, caching, i18n,
+monitoring, dependency probing."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from dgdm_histopath_tpu.utils import (
+    DGDMConfig, InputValidator, ValidationError, config_from_dict,
+    config_to_dict, load_config, merge_configs, save_config,
+)
+from dgdm_histopath_tpu.utils.config import apply_env_overrides, config_transaction
+from dgdm_histopath_tpu.utils.dependency_check import check_dependencies, probe
+from dgdm_histopath_tpu.utils.exceptions import (
+    ConfigurationError, ResourceError, SecurityError,
+)
+from dgdm_histopath_tpu.utils.globalization import (
+    ComplianceRegime, InternationalizationManager,
+)
+from dgdm_histopath_tpu.utils.monitoring import (
+    MetricsCollector, monitor_operation,
+)
+from dgdm_histopath_tpu.utils.optimization import (
+    AdaptiveCache, CompressedDataCache, ParallelProcessor, PrefetchIterator,
+    ResourcePool, cached,
+)
+from dgdm_histopath_tpu.utils.resilience import (
+    BulkheadExecutor, CircuitBreaker, CircuitBreakerOpen, CircuitState,
+    ResilientExecutor, RetryPolicy,
+)
+from dgdm_histopath_tpu.utils.security import (
+    InputSanitizer, PHIDetector, RateLimiter, SecureStorage,
+    SessionTokenManager, hash_password, verify_password,
+)
+
+
+class TestConfig:
+    def test_roundtrip_and_validate(self):
+        cfg = DGDMConfig()
+        cfg.validate()
+        rt = config_from_dict(config_to_dict(cfg))
+        assert rt == cfg
+
+    def test_env_override_dotted(self, monkeypatch):
+        monkeypatch.setenv("DGDM_MODEL__HIDDEN_DIMS", "[64, 32]")
+        monkeypatch.setenv("DGDM_TRAINING__LEARNING_RATE", "0.01")
+        raw = apply_env_overrides({})
+        assert raw["model"]["hidden_dims"] == [64, 32]
+        assert raw["training"]["learning_rate"] == 0.01
+
+    def test_invalid_config_raises(self):
+        cfg = DGDMConfig()
+        cfg.model.attention_heads = 7
+        with pytest.raises(ConfigurationError):
+            cfg.validate()
+
+    def test_save_load_yaml(self, tmp_path):
+        cfg = DGDMConfig()
+        cfg.model.hidden_dims = [64, 32]
+        p = save_config(cfg, tmp_path / "c.yaml")
+        loaded = load_config(p, apply_env=False)
+        assert loaded.model.hidden_dims == [64, 32]
+
+    def test_config_transaction_rollback(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("original: true\n")
+        with pytest.raises(RuntimeError):
+            with config_transaction(p):
+                p.write_text("modified: true\n")
+                raise RuntimeError("boom")
+        assert p.read_text() == "original: true\n"
+
+    def test_merge(self):
+        out = merge_configs({"a": {"b": 1, "c": 2}}, {"a": {"b": 9}, "d": 3})
+        assert out == {"a": {"b": 9, "c": 2}, "d": 3}
+
+
+class TestValidation:
+    def test_integer_bounds(self):
+        assert InputValidator.validate_integer(5, "x", 0, 10) == 5
+        with pytest.raises(ValidationError):
+            InputValidator.validate_integer(11, "x", 0, 10)
+        with pytest.raises(ValidationError):
+            InputValidator.validate_integer(True, "x")
+
+    def test_path_traversal_blocked(self):
+        with pytest.raises(ValidationError):
+            InputValidator.validate_path("../etc/passwd", "p")
+
+    def test_array_shape(self):
+        arr = np.zeros((3, 4))
+        InputValidator.validate_array_shape(arr, "a", shape=(3, None))
+        with pytest.raises(ValidationError):
+            InputValidator.validate_array_shape(arr, "a", shape=(4, None))
+
+    def test_finite(self):
+        with pytest.raises(ValidationError):
+            InputValidator.validate_finite(np.array([1.0, np.nan]), "a")
+
+
+class TestResilience:
+    def test_circuit_breaker_opens_and_recovers(self):
+        cb = CircuitBreaker(failure_threshold=2, recovery_timeout=0.05)
+        def boom():
+            raise ValueError("x")
+        for _ in range(2):
+            with pytest.raises(ValueError):
+                cb.call(boom)
+        assert cb.state == CircuitState.OPEN
+        with pytest.raises(CircuitBreakerOpen):
+            cb.call(lambda: 1)
+        time.sleep(0.06)
+        assert cb.state == CircuitState.HALF_OPEN
+        assert cb.call(lambda: 42) == 42
+        assert cb.state == CircuitState.CLOSED
+
+    def test_retry_policy(self):
+        calls = {"n": 0}
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("flaky")
+            return "ok"
+        assert RetryPolicy(max_attempts=3, base_delay=0.001).execute(flaky) == "ok"
+        assert calls["n"] == 3
+
+    def test_retry_exhausted_raises(self):
+        with pytest.raises(RuntimeError):
+            RetryPolicy(max_attempts=2, base_delay=0.001).execute(
+                lambda: (_ for _ in ()).throw(RuntimeError("always")))
+
+    def test_bulkhead(self):
+        bh = BulkheadExecutor(max_concurrent=1, timeout=0.01)
+        import threading
+        started = threading.Event()
+        release = threading.Event()
+        def slow():
+            started.set()
+            release.wait(1.0)
+        t = threading.Thread(target=lambda: bh.call(slow))
+        t.start()
+        started.wait(1.0)
+        with pytest.raises(ResourceError):
+            bh.call(lambda: 1)
+        release.set()
+        t.join()
+
+    def test_resilient_executor_fallback(self):
+        ex = ResilientExecutor(retry=RetryPolicy(max_attempts=1),
+                               fallback=lambda: "fallback")
+        def boom():
+            raise RuntimeError("x")
+        assert ex.execute(boom) == "fallback"
+
+
+class TestSecurity:
+    def test_rate_limiter(self):
+        rl = RateLimiter(rate=1000.0, burst=2)
+        assert rl.allow("k") and rl.allow("k")
+        assert not rl.allow("k")  # burst exhausted
+        with pytest.raises(SecurityError):
+            rl.check("k")
+
+    def test_sanitizer(self):
+        with pytest.raises(SecurityError):
+            InputSanitizer.check_sql_injection("1; DROP TABLE slides")
+        with pytest.raises(SecurityError):
+            InputSanitizer.check_path_traversal("../../secret")
+        assert InputSanitizer.sanitize_filename("my file!.svs") == "my_file_.svs"
+
+    def test_phi_detector(self):
+        text = "Patient SSN 123-45-6789, contact john@example.com"
+        findings = PHIDetector.scan(text)
+        kinds = {f["type"] for f in findings}
+        assert "ssn" in kinds and "email" in kinds
+        redacted = PHIDetector.redact(text)
+        assert "123-45-6789" not in redacted
+
+    def test_password_hash(self):
+        h = hash_password("hunter2")
+        assert verify_password("hunter2", h)
+        assert not verify_password("wrong", h)
+
+    def test_session_tokens(self):
+        mgr = SessionTokenManager(ttl_s=60)
+        token = mgr.issue("user1")
+        assert mgr.verify(token) == "user1"
+        with pytest.raises(SecurityError):
+            mgr.verify(token + "tampered")
+
+    def test_secure_storage(self, tmp_path):
+        store = SecureStorage(tmp_path)
+        store.put("k", {"a": 1})
+        assert store.get("k") == {"a": 1}
+        # tamper
+        path = list(tmp_path.glob("*.json"))[0]
+        import json
+        raw = json.loads(path.read_text())
+        raw["data"] = raw["data"].replace("1", "2")
+        path.write_text(json.dumps(raw))
+        with pytest.raises(SecurityError):
+            store.get("k")
+
+
+class TestOptimization:
+    def test_adaptive_cache_lru_ttl(self):
+        c = AdaptiveCache(max_items=2, ttl_s=0.05, adaptive=False)
+        c.put("a", 1)
+        c.put("b", 2)
+        c.put("c", 3)           # evicts a
+        assert c.get("a") is None
+        assert c.get("b") == 2
+        time.sleep(0.06)
+        assert c.get("b") is None  # TTL expired
+
+    def test_cached_decorator(self):
+        calls = {"n": 0}
+        @cached()
+        def f(x):
+            calls["n"] += 1
+            return x * 2
+        assert f(2) == 4 and f(2) == 4
+        assert calls["n"] == 1
+
+    def test_resource_pool(self):
+        pool = ResourcePool(lambda: object(), max_size=2)
+        with pool.borrowed() as r1:
+            assert r1 is not None
+        with pool.borrowed() as r2:
+            assert r2 is r1  # reused
+
+    def test_parallel_processor(self):
+        pp = ParallelProcessor(max_workers=4)
+        assert pp.map(lambda x: x * x, range(10)) == [i * i for i in range(10)]
+        pp_skip = ParallelProcessor(error_policy="skip")
+        def maybe(x):
+            if x == 2:
+                raise ValueError
+            return x
+        assert pp_skip.map(maybe, range(4)) == [0, 1, 3]
+
+    def test_prefetch_iterator(self):
+        assert list(PrefetchIterator(iter(range(5)), depth=2)) == [0, 1, 2, 3, 4]
+
+    def test_prefetch_propagates_error(self):
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+        it = PrefetchIterator(gen())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            list(it)
+
+    def test_compressed_cache(self, tmp_path):
+        c = CompressedDataCache(tmp_path)
+        data = {"x": np.arange(100).tolist()}
+        c.put("k", data)
+        assert "k" in c
+        assert c.get("k") == data
+
+
+class TestGlobalization:
+    def test_translate(self):
+        i18n = InternationalizationManager("es")
+        assert i18n.t("tumor") == "Tumor"
+        assert i18n.t("confidence") == "Confianza"
+        assert InternationalizationManager("ja").t("prediction") == "予測"
+        # unknown key falls back to the key
+        assert i18n.t("nonexistent_key") == "nonexistent_key"
+
+    def test_unsupported_language(self):
+        with pytest.raises(ValueError):
+            InternationalizationManager("xx")
+
+    def test_compliance(self):
+        eu = InternationalizationManager("en", region="eu")
+        assert ComplianceRegime.GDPR in eu.active_regimes()
+        report = eu.check_compliance({"phi_encryption": True})
+        assert not report["compliant"]
+        assert "right_to_erasure" in report["missing_controls"]
+        full = {k: True for k in eu.compliance_requirements()}
+        assert eu.check_compliance(full)["compliant"]
+
+
+class TestMonitoring:
+    def test_monitor_operation_records(self):
+        collector = MetricsCollector()
+        with monitor_operation("op1", collector=collector, trace=False):
+            time.sleep(0.01)
+        summary = collector.summary("op1")
+        assert summary["op1"]["count"] == 1
+        assert summary["op1"]["mean_s"] >= 0.01
+
+    def test_counters(self):
+        c = MetricsCollector()
+        c.increment("slides", 2)
+        c.increment("slides")
+        assert c.counters()["slides"] == 3
+
+
+class TestDependencyCheck:
+    def test_report(self):
+        report = check_dependencies()
+        assert report["healthy"]
+        assert report["required"]["jax"] is True
+        assert "jax" in report
+
+    def test_probe_missing(self):
+        assert probe("definitely_not_a_module_xyz") is False
