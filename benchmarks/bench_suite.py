@@ -1,0 +1,161 @@
+"""Benchmark suite: per-stage throughput/latency on the current backend.
+
+The reference shipped no benchmark harness at all (SURVEY §6); this measures
+every pipeline stage the published claims reference:
+
+  * stain normalization (patches/sec, batched Macenko)
+  * patch featurization (patches/sec, ViT forward)
+  * kNN graph construction (graphs/sec)
+  * training step (graphs/sec, DGDM-Base pretrain)
+  * inference step (slides/sec, DGDM-Base forward)
+
+Usage: python benchmarks/bench_suite.py [--stages stain,feat,knn,train,infer]
+Prints one JSON object per stage.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _time(fn, warmup=2, iters=10):
+    import jax
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_stain(batch=256, size=256):
+    import jax.numpy as jnp
+    import numpy as np
+    from dgdm_histopath_tpu.preprocessing.stain_normalization import (
+        DEFAULT_MAX_CONCENTRATIONS, DEFAULT_STAIN_MATRIX,
+        macenko_normalize_batch,
+    )
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.randint(30, 250, (batch, size, size, 3)), jnp.float32)
+    ref_s = jnp.asarray(DEFAULT_STAIN_MATRIX)
+    ref_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
+    dt = _time(lambda: macenko_normalize_batch(imgs, ref_s, ref_c))
+    return {"stage": "stain_normalization", "value": round(batch / dt, 1),
+            "unit": f"patches/sec ({size}px, batched macenko)"}
+
+
+def bench_featurize(batch=64, size=224):
+    import jax.numpy as jnp
+    import numpy as np
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+    ext = PatchFeatureExtractor(arch="dinov2", batch_size=batch,
+                                image_size=size)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(batch, size, size, 3), jnp.float32)
+    dt = _time(lambda: ext._apply(ext.params, x))
+    return {"stage": "patch_featurization", "value": round(batch / dt, 1),
+            "unit": "patches/sec (ViT-Base bf16)"}
+
+
+def bench_knn(n=1024, feat=768):
+    import jax.numpy as jnp
+    import numpy as np
+    from dgdm_histopath_tpu.ops.knn import build_dual_knn
+    rs = np.random.RandomState(0)
+    pos = jnp.asarray(rs.rand(n, 2), jnp.float32)
+    feats = jnp.asarray(rs.randn(n, feat), jnp.float32)
+    mask = jnp.ones((n,), bool)
+    dt = _time(lambda: build_dual_knn(pos, feats, mask)["nbr_idx"])
+    return {"stage": "knn_graph_construction", "value": round(1.0 / dt, 2),
+            "unit": f"graphs/sec ({n} nodes, spatial+morphological)"}
+
+
+def _base_setup(batch=4, nodes=1024):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dgdm_histopath_tpu.models import DGDMModel
+    from dgdm_histopath_tpu.ops.graph import PaddedGraph, batch_graphs
+    from dgdm_histopath_tpu.ops.knn import knn_euclidean
+    from dgdm_histopath_tpu.training import DGDMTrainer, TrainerConfig
+
+    def mk(seed):
+        rs = np.random.RandomState(seed)
+        x = rs.randn(nodes, 768).astype(np.float32)
+        pos = rs.rand(nodes, 2).astype(np.float32)
+        mask = jnp.ones((nodes,), bool)
+        idx, dist, valid = knn_euclidean(jnp.asarray(pos), mask, 8)
+        return PaddedGraph(
+            x=jnp.asarray(x), pos=jnp.asarray(pos), nbr_idx=idx,
+            nbr_mask=valid,
+            edge_attr=jnp.stack([dist, jnp.exp(-10 * dist),
+                                 jnp.zeros_like(dist)], -1),
+            node_mask=mask, y=jnp.asarray(seed % 2, jnp.int32))
+
+    model = DGDMModel(node_features=768, hidden_dims=(512, 256, 128),
+                      num_diffusion_steps=10, attention_heads=8,
+                      graph_layers=4, num_classes=2)
+    b = batch_graphs([mk(i) for i in range(batch)])
+    trainer = DGDMTrainer(model, TrainerConfig(warmup_steps=10,
+                                               pretrain_epochs=10,
+                                               steps_per_epoch=100),
+                          use_mesh=False)
+    trainer.init_state(jax.random.PRNGKey(0), b)
+    return trainer, b, batch
+
+
+def bench_train(batch=4, nodes=1024):
+    trainer, b, batch_n = _base_setup(batch, nodes)
+    step = trainer._get_step_fn("pretrain", b)
+    state = trainer.state
+
+    def run():
+        nonlocal state
+        state, metrics = step(state, b)
+        return metrics["loss"]
+
+    dt = _time(run, warmup=2, iters=20)
+    return {"stage": "train_step", "value": round(batch_n / dt, 2),
+            "unit": f"graphs/sec (DGDM-Base pretrain, {nodes} nodes)"}
+
+
+def bench_infer(batch=4, nodes=1024):
+    import jax
+    trainer, b, batch_n = _base_setup(batch, nodes)
+    fwd = jax.jit(lambda p, g: trainer.model.apply(
+        p, g, mode="inference", deterministic=True)["classification_logits"])
+    params = trainer.state.params
+    dt = _time(lambda: fwd(params, b), warmup=2, iters=20)
+    return {"stage": "inference_forward", "value": round(batch_n / dt, 2),
+            "unit": f"slides/sec (DGDM-Base, {nodes}-node graphs)"}
+
+
+STAGES = {"stain": bench_stain, "feat": bench_featurize, "knn": bench_knn,
+          "train": bench_train, "infer": bench_infer}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stages", default="stain,knn,train,infer")
+    args = p.parse_args()
+    import jax
+    print(json.dumps({"backend": jax.default_backend(),
+                      "devices": len(jax.devices())}))
+    for name in args.stages.split(","):
+        fn = STAGES.get(name.strip())
+        if fn is None:
+            continue
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"stage": name, "error": str(exc)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

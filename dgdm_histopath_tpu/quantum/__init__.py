@@ -12,10 +12,16 @@ from .scheduler import QuantumScheduler, SchedulingStrategy, ResourceSnapshot, r
 from .optimizer import (
     QuantumOptimizer, OptimizationSpace, Parameter, Trial, dgdm_search_space,
 )
+from .federated_learning import (
+    FederatedClient, FederatedServer, FederatedStrategy, FederatedDGDMManager,
+    DPConfig,
+)
 
 __all__ = [
     "QuantumTaskPlanner", "QuantumPlanner", "Task", "TaskPriority", "TaskStatus",
     "QuantumScheduler", "SchedulingStrategy", "ResourceSnapshot", "read_resources",
     "QuantumOptimizer", "OptimizationSpace", "Parameter", "Trial",
     "dgdm_search_space",
+    "FederatedClient", "FederatedServer", "FederatedStrategy",
+    "FederatedDGDMManager", "DPConfig",
 ]

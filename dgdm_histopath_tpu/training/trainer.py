@@ -308,7 +308,15 @@ class DGDMTrainer:
     def phase_for_epoch(self, epoch: int) -> str:
         return "pretrain" if epoch < self.config.pretrain_epochs else "finetune"
 
-    def training_step(self, batch: PaddedGraph, epoch: Optional[int] = None) -> Dict[str, float]:
+    def training_step(self, batch: PaddedGraph, epoch: Optional[int] = None,
+                      materialize: bool = True) -> Dict[str, Any]:
+        """One optimization step.
+
+        ``materialize=False`` returns device-resident scalar metrics without
+        forcing a host sync — the fit loop accumulates those asynchronously
+        and syncs once per epoch (per-step syncs dominate wall-clock on
+        tunneled/remote devices).
+        """
         if self.state is None:
             raise RuntimeError("call init_state() first")
         epoch = self.current_epoch if epoch is None else epoch
@@ -317,8 +325,10 @@ class DGDMTrainer:
             batch = shard_batch(self._pad_to_devices(batch), self.mesh)
         fn = self._get_step_fn(phase, batch)
         self.state, metrics = fn(self.state, batch)
-        return {k: float(v) for k, v in metrics.items()
-                if jnp.ndim(v) == 0}
+        scalars = {k: v for k, v in metrics.items() if jnp.ndim(v) == 0}
+        if materialize:
+            return {k: float(v) for k, v in scalars.items()}
+        return scalars
 
     def validation_step(self, batch: PaddedGraph, epoch: Optional[int] = None) -> Dict[str, Any]:
         epoch = self.current_epoch if epoch is None else epoch
@@ -346,19 +356,22 @@ class DGDMTrainer:
         for epoch in range(self.current_epoch, max_epochs):
             self.current_epoch = epoch
             phase = self.phase_for_epoch(epoch)
-            epoch_metrics: Dict[str, list] = {}
+            totals: Dict[str, Any] = {}
             t0 = time.perf_counter()
             n_steps = 0
             with monitor_operation(f"train_epoch_{phase}"):
                 for batch in train_loader:
-                    m = self.training_step(batch, epoch)
+                    # device-resident accumulation: no per-step host sync
+                    m = self.training_step(batch, epoch, materialize=False)
                     n_steps += 1
                     for k, v in m.items():
-                        epoch_metrics.setdefault(k, []).append(v)
+                        totals[k] = v if k not in totals else totals[k] + v
                     if n_steps % log_every == 0:
                         logger.info("epoch %d [%s] step %d loss=%.4f",
-                                    epoch, phase, n_steps, m.get("loss", float("nan")))
-            summary = {f"train_{k}": float(np.mean(v)) for k, v in epoch_metrics.items()}
+                                    epoch, phase, n_steps,
+                                    float(m.get("loss", float("nan"))))
+            summary = {f"train_{k}": float(v) / max(n_steps, 1)
+                       for k, v in totals.items()}
             summary["epoch"] = epoch
             summary["phase"] = phase
             summary["epoch_time_s"] = time.perf_counter() - t0

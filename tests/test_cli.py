@@ -123,3 +123,14 @@ class TestQualityGates:
         report = QualityGateRunner().run(["imports", "nonexistent"])
         statuses = {g["name"]: g["status"] for g in report["gates"]}
         assert statuses["nonexistent"] == "unknown"
+
+
+class TestAutonomousRunner:
+    def test_report(self, tmp_path):
+        from dgdm_histopath_tpu.testing import AutonomousTestRunner
+        runner = AutonomousTestRunner(output_dir=tmp_path, level="greenfield")
+        report = runner.run()
+        assert report["tests"]["total"] >= 10
+        assert report["overall_pass"], [
+            r for r in report["tests"]["results"] if r["status"] != "passed"]
+        assert (tmp_path / "autonomous_report.json").exists()

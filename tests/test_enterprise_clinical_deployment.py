@@ -1,0 +1,247 @@
+"""Tests for federated learning, clinical, enterprise, and deployment layers."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgdm_histopath_tpu.clinical import (
+    ClinicalCohort, ClinicalDataManager, ClinicalPerformanceAnalyzer,
+    DICOMHandler, EHRConnector, FDASubmissionManager,
+)
+from dgdm_histopath_tpu.deployment import (
+    AutoScaler, EdgeConfig, EdgeDeploymentManager, EdgeInferenceEngine,
+    EdgeModelOptimizer, K8sConfig, KubernetesOrchestrator,
+    ProductionHealthChecker, ProductionOrchestrator, dequantize_params,
+    quantize_params_int8,
+)
+from dgdm_histopath_tpu.enterprise import (
+    MultiTenantManager, TenantQuota,
+)
+from dgdm_histopath_tpu.models import DGDMModel
+from dgdm_histopath_tpu.ops.graph import batch_graphs
+from dgdm_histopath_tpu.quantum.federated_learning import (
+    DPConfig, FederatedClient, FederatedServer, FederatedStrategy,
+    tree_global_norm, tree_sub,
+)
+from dgdm_histopath_tpu.utils.exceptions import ResourceError, SecurityError
+
+from conftest import make_synthetic_graph
+
+
+def tiny_model_setup(num_classes=2, feat_dim=8):
+    model = DGDMModel(node_features=feat_dim, hidden_dims=(16, 8),
+                      num_diffusion_steps=2, attention_heads=4, graph_layers=1,
+                      num_classes=num_classes, use_hierarchical=False,
+                      use_spatial_attention=False, compute_dtype="float32")
+    g = batch_graphs([make_synthetic_graph(seed=i, n_nodes=16, n_real=12,
+                                           feat_dim=feat_dim) for i in range(2)])
+    rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+            "masking": jax.random.PRNGKey(2)}
+    params = model.init(rngs, g, mode="pretrain", deterministic=True)
+    return model, params, g
+
+
+class TestFederated:
+    def _params(self):
+        return {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    def test_fedavg_weighted_average(self):
+        server = FederatedServer(self._params(), strategy="fedavg")
+        # client A pushes +1 everywhere (100 samples), B pushes -1 (50 samples)
+        server.register_client(FederatedClient(
+            "a", lambda p, r: jax.tree_util.tree_map(lambda x: x + 1.0, p), 100))
+        server.register_client(FederatedClient(
+            "b", lambda p, r: jax.tree_util.tree_map(lambda x: x - 1.0, p), 50))
+        server.run_round(0)
+        expected_delta = (100 * 1.0 + 50 * -1.0) / 150
+        np.testing.assert_allclose(np.asarray(server.global_params["w"]),
+                                   1.0 + expected_delta, atol=1e-6)
+
+    def test_dp_clipping(self):
+        dp = DPConfig(clip_norm=0.5, noise_multiplier=0.0)
+        client = FederatedClient(
+            "a", lambda p, r: jax.tree_util.tree_map(lambda x: x + 10.0, p),
+            10, dp=dp)
+        update = client.compute_update(self._params(), 0, jax.random.PRNGKey(0))
+        assert float(tree_global_norm(update)) <= 0.5 + 1e-5
+
+    def test_scaffold_and_fedprox_run(self):
+        for strategy in ("scaffold", "fedprox", "quantum_fed"):
+            server = FederatedServer(self._params(), strategy=strategy)
+            for cid in ("a", "b", "c"):
+                server.register_client(FederatedClient(
+                    cid, lambda p, r: jax.tree_util.tree_map(
+                        lambda x: x + 0.1, p), 10))
+            hist = server.run(3)
+            assert len(hist) == 3
+            assert np.isfinite(hist[-1]["update_norm"])
+
+    def test_client_selection(self):
+        server = FederatedServer(self._params(), clients_per_round=2)
+        for cid in "abcde":
+            server.register_client(FederatedClient(
+                cid, lambda p, r: p, 10))
+        assert len(server.select_clients(0)) == 2
+
+
+class TestClinical:
+    def test_cohort_phi_redaction(self):
+        mgr = ClinicalDataManager()
+        cohort = ClinicalCohort("c1", site="site-A",
+                                metadata={"note": "patient SSN 123-45-6789"})
+        mgr.register_cohort(cohort)
+        assert "123-45-6789" not in mgr.cohorts["c1"].metadata["note"]
+        assert any(e["event"] == "phi_redacted" for e in mgr.audit)
+
+    def test_performance_analysis(self):
+        rs = np.random.RandomState(0)
+        labels = rs.randint(0, 2, 200)
+        # strong classifier
+        probs = np.clip(labels * 0.8 + rs.rand(200) * 0.2, 0, 1)
+        preds = (probs > 0.5).astype(int)
+        mgr = ClinicalDataManager()
+        mgr.register_cohort(ClinicalCohort("c1"))
+        mgr.add_results("c1", labels, preds, np.stack([1 - probs, probs], 1))
+        analyzer = ClinicalPerformanceAnalyzer()
+        report = analyzer.analyze_all(mgr)
+        c1 = report["cohorts"]["c1"]
+        assert c1["sensitivity"] > 0.9
+        assert "auc_ci" in c1
+        assert isinstance(c1["meets_criteria"], bool)
+
+    def test_fda_dossier(self, tmp_path):
+        mgr = FDASubmissionManager()
+        dossier = mgr.build_dossier({"auc": 0.95})
+        assert "RESEARCH USE ONLY" in dossier["submission_type"]
+        p = mgr.export(dossier, tmp_path / "dossier.json")
+        assert json.loads(p.read_text())["performance_summary"]["auc"] == 0.95
+
+    def test_dicom_anonymization(self):
+        handler = DICOMHandler()
+        meta = handler.extract_metadata({
+            "SOPInstanceUID": "1.2.3", "PatientName": "DOE^JANE",
+            "PatientID": "MRN 1234567", "Modality": "SM",
+            "StudyDescription": "contact jane@example.com"})
+        anon = handler.anonymize(meta)
+        assert anon.attributes["PatientName"] != "DOE^JANE"
+        assert "jane@example.com" not in anon.attributes["StudyDescription"]
+        assert handler.verify_anonymized(anon)
+        # pseudonyms are stable
+        anon2 = handler.anonymize(meta)
+        assert anon2.attributes["PatientName"] == anon.attributes["PatientName"]
+
+    def test_ehr_observation(self):
+        ehr = EHRConnector()
+        obs = ehr.build_observation(
+            {"predicted_class": 1, "confidence": 0.87,
+             "uncertainty": {"entropy": 0.3}},
+            subject_ref="Patient/x", class_names=["benign", "tumor"])
+        assert obs["valueCodeableConcept"]["text"] == "tumor"
+        resp = ehr.send_observation(obs)
+        assert resp["status"] == "recorded"
+        assert len(ehr.outbox) == 1
+
+
+class TestEnterprise:
+    def test_tenant_lifecycle_and_quota(self, tmp_path):
+        mgr = MultiTenantManager(tmp_path)
+        t = mgr.create_tenant("hospital-a",
+                              TenantQuota(max_slides_per_day=2,
+                                          max_concurrent_jobs=1))
+        mgr.resources.charge_slide(t, 2)
+        with pytest.raises(ResourceError):
+            mgr.resources.charge_slide(t)
+
+    def test_job_slots(self, tmp_path):
+        mgr = MultiTenantManager(tmp_path)
+        t = mgr.create_tenant("a", TenantQuota(max_concurrent_jobs=1))
+        with mgr.resources.acquire_job_slot(t):
+            with pytest.raises(ResourceError):
+                mgr.resources.acquire_job_slot(t)
+        # released after context
+        with mgr.resources.acquire_job_slot(t):
+            pass
+
+    def test_isolation(self, tmp_path):
+        mgr = MultiTenantManager(tmp_path)
+        t = mgr.create_tenant("a")
+        p = mgr.isolation.resolve(t.tenant_id, "graphs/x.npz")
+        assert str(p).startswith(str(tmp_path))
+        with pytest.raises(SecurityError):
+            mgr.isolation.resolve(t.tenant_id, "../other/secret")
+
+    def test_auth_and_run_job(self, tmp_path):
+        mgr = MultiTenantManager(tmp_path)
+        t = mgr.create_tenant("a")
+        key = mgr.auth.issue_key(t.tenant_id, role="analyst")
+        assert mgr.run_job(key, lambda: 42) == 42
+        viewer_key = mgr.auth.issue_key(t.tenant_id, role="viewer")
+        with pytest.raises(SecurityError):
+            mgr.run_job(viewer_key, lambda: 1)
+        with pytest.raises(SecurityError):
+            mgr.auth.authenticate("bogus")
+
+
+class TestDeployment:
+    def test_int8_quantization_roundtrip(self):
+        model, params, g = tiny_model_setup()
+        q = quantize_params_int8(params)
+        restored = dequantize_params(q)
+        out1 = model.apply(params, g, mode="inference")["classification_logits"]
+        out2 = model.apply(restored, g, mode="inference")["classification_logits"]
+        # int8 quantization keeps predictions close
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=0.2)
+
+    def test_edge_bundle_roundtrip(self, tmp_path):
+        model, params, g = tiny_model_setup()
+        cfg = dict(node_features=8, hidden_dims=(16, 8), num_diffusion_steps=2,
+                   attention_heads=4, graph_layers=1, num_classes=2,
+                   use_hierarchical=False, use_spatial_attention=False,
+                   compute_dtype="float32")
+        mgr = EdgeDeploymentManager(tmp_path)
+        bundle = mgr.package(model, params, cfg, EdgeConfig(quantization="int8"))
+        assert bundle.exists()
+        assert (tmp_path / "manifest.json").exists()
+        engine = EdgeDeploymentManager.load(bundle)
+        result = engine.predict(g)
+        assert result["probabilities"].shape == (2, 2)
+        assert engine.mean_latency_s > 0
+
+    def test_k8s_manifests(self, tmp_path):
+        orch = KubernetesOrchestrator(K8sConfig(replicas=3))
+        files = orch.write_manifests(tmp_path)
+        assert len(files) == 3
+        import yaml
+        dep = yaml.safe_load((tmp_path / "deployment.yaml").read_text())
+        assert dep["spec"]["replicas"] == 3
+        assert dep["spec"]["template"]["spec"]["securityContext"]["runAsNonRoot"]
+        hpa = yaml.safe_load((tmp_path / "hpa.yaml").read_text())
+        assert hpa["spec"]["maxReplicas"] == 8
+
+    def test_autoscaler_hysteresis(self):
+        sc = AutoScaler(min_replicas=1, max_replicas=8, cooldown_s=10)
+        assert sc.decide(0.9, now=0.0) == 2      # scale up
+        assert sc.decide(0.9, now=5.0) == 2      # cooldown holds
+        assert sc.decide(0.9, now=11.0) == 4     # scale up again
+        assert sc.decide(0.1, now=30.0) == 3     # scale down by one
+
+    def test_production_orchestrator_rollback(self):
+        orch = ProductionOrchestrator()
+        events = []
+        orch.add_stage("build", lambda: events.append("build") or True,
+                       rollback=lambda: events.append("rollback_build"))
+        orch.add_stage("verify", lambda: False)
+        result = orch.deploy_to_production()
+        assert not result["success"]
+        assert result["failed_stage"] == "verify"
+        assert "rollback_build" in events
+
+    def test_health_checker(self):
+        report = ProductionHealthChecker().check()
+        assert report["healthy"]
+        assert report["checks"]["dependencies"]

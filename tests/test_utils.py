@@ -309,3 +309,40 @@ class TestDependencyCheck:
 
     def test_probe_missing(self):
         assert probe("definitely_not_a_module_xyz") is False
+
+
+class TestAlerting:
+    def test_rule_fires_and_cooldown(self):
+        from dgdm_histopath_tpu.utils.alerting import (
+            Alert, AlertManager, AlertRule, AlertSeverity,
+        )
+        from dgdm_histopath_tpu.utils.monitoring import (
+            MetricsCollector, monitor_operation,
+        )
+        collector = MetricsCollector()
+        with monitor_operation("slow_op", collector=collector, trace=False):
+            time.sleep(0.02)
+        mgr = AlertManager(collector)
+        mgr.add_rule(AlertRule("slow", "slow_op", field="mean_s",
+                               threshold=0.001, severity=AlertSeverity.CRITICAL,
+                               cooldown_s=60))
+        fired_cb = []
+        mgr.on_alert(fired_cb.append)
+        fired = mgr.evaluate()
+        assert len(fired) == 1 and fired[0].severity == "critical"
+        assert len(fired_cb) == 1
+        # cooldown suppresses refiring
+        assert mgr.evaluate() == []
+        assert mgr.active_summary()["total"] == 1
+
+    def test_rule_not_breached(self):
+        from dgdm_histopath_tpu.utils.alerting import AlertManager, AlertRule
+        from dgdm_histopath_tpu.utils.monitoring import (
+            MetricsCollector, monitor_operation,
+        )
+        collector = MetricsCollector()
+        with monitor_operation("fast_op", collector=collector, trace=False):
+            pass
+        mgr = AlertManager(collector)
+        mgr.add_rule(AlertRule("never", "fast_op", threshold=100.0))
+        assert mgr.evaluate() == []
