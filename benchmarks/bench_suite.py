@@ -136,8 +136,58 @@ def bench_infer(batch=4, nodes=1024):
             "unit": f"slides/sec (DGDM-Base, {nodes}-node graphs)"}
 
 
+def bench_e2e(slides=3, width=2048, patch=256, max_patches=500,
+              extractor="dinov2"):
+    """End-to-end predict_slide: decode → tissue → stain-norm → featurize →
+    kNN → model forward. The BASELINE.md north-star metric (slides/hour/chip;
+    reference implied ~100/hour: 30 s preprocess + 5 s inference)."""
+    import jax
+    import numpy as np
+    from dgdm_histopath_tpu.evaluation import DGDMPredictor
+    from dgdm_histopath_tpu.models import DGDMModel
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+    from dgdm_histopath_tpu.ops.graph import PaddedGraph, batch_graphs
+    from dgdm_histopath_tpu.preprocessing import synthetic_slide
+
+    ext = PatchFeatureExtractor(arch=extractor, batch_size=256)
+    model = DGDMModel(node_features=ext.feature_dim,
+                      hidden_dims=(512, 256, 128), num_diffusion_steps=10,
+                      attention_heads=8, graph_layers=4, num_classes=2)
+    backend0, _ = synthetic_slide(width, width, num_levels=4, seed=0)
+    from dgdm_histopath_tpu.preprocessing import (
+        SlideProcessor, TissueGraphBuilder,
+    )
+    proc = SlideProcessor(patch_size=patch, tissue_threshold=0.3,
+                          max_patches=max_patches, stain_normalize=True)
+    builder = TissueGraphBuilder(extractor=ext,
+                                 node_buckets=[512, 1024, 2048])
+    data0 = proc.process_slide(backend0, slide_id="warm")
+    g0 = builder.build_graph(data0)
+    rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+            "masking": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch_graphs([g0]), mode="pretrain",
+                        deterministic=True)
+    pred = DGDMPredictor(model=model, params=params, patch_size=patch,
+                         max_patches=max_patches, tissue_threshold=0.3)
+    pred.graph_builder = builder
+    pred.processor = proc
+    pred.predict_slide(backend0, slide_id="warmup")   # compile everything
+
+    backends = [synthetic_slide(width, width, num_levels=4, seed=i + 1)[0]
+                for i in range(slides)]
+    t0 = time.perf_counter()
+    for i, b in enumerate(backends):
+        pred.predict_slide(b, slide_id=f"s{i}")
+    dt = (time.perf_counter() - t0) / slides
+    return {"stage": "end_to_end_predict_slide",
+            "value": round(3600.0 / dt, 1),
+            "unit": f"slides/hour/chip ({width}px slide, ≤{max_patches} "
+                    f"patches, {extractor}, stain-norm on)",
+            "seconds_per_slide": round(dt, 2)}
+
+
 STAGES = {"stain": bench_stain, "feat": bench_featurize, "knn": bench_knn,
-          "train": bench_train, "infer": bench_infer}
+          "train": bench_train, "infer": bench_infer, "e2e": bench_e2e}
 
 
 def main():
