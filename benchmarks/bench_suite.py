@@ -149,7 +149,9 @@ def bench_e2e(slides=3, width=2048, patch=256, max_patches=500,
     from dgdm_histopath_tpu.ops.graph import PaddedGraph, batch_graphs
     from dgdm_histopath_tpu.preprocessing import synthetic_slide
 
-    ext = PatchFeatureExtractor(arch=extractor, batch_size=256)
+    # fused path: stain-norm happens on device inside featurization
+    ext = PatchFeatureExtractor(arch=extractor, batch_size=256,
+                                stain_normalize_on_device=True)
     model = DGDMModel(node_features=ext.feature_dim,
                       hidden_dims=(512, 256, 128), num_diffusion_steps=10,
                       attention_heads=8, graph_layers=4, num_classes=2)
@@ -158,7 +160,7 @@ def bench_e2e(slides=3, width=2048, patch=256, max_patches=500,
         SlideProcessor, TissueGraphBuilder,
     )
     proc = SlideProcessor(patch_size=patch, tissue_threshold=0.3,
-                          max_patches=max_patches, stain_normalize=True)
+                          max_patches=max_patches, stain_normalize=False)
     builder = TissueGraphBuilder(extractor=ext,
                                  node_buckets=[512, 1024, 2048])
     data0 = proc.process_slide(backend0, slide_id="warm")

@@ -88,12 +88,22 @@ class DGDMPredictor:
             self.model, self.params, self.checkpoint_meta = model, params, {}
         else:
             raise InferenceError("provide model_path or (model, params)")
+        # Fuse stain normalization into the featurization device call when a
+        # neural extractor is active: the processor then keeps patches uint8
+        # and the extractor normalizes on device (one upload per batch).
+        fuse_stain = stain_normalize and feature_extractor not in ("none", None)
         self.processor = SlideProcessor(
             patch_size=patch_size, magnifications=[magnification],
             max_patches=max_patches, tissue_threshold=tissue_threshold,
-            stain_normalize=stain_normalize)
+            stain_normalize=stain_normalize and not fuse_stain)
+        extractor = None
+        if fuse_stain:
+            from ..models.vit import PatchFeatureExtractor
+            extractor = PatchFeatureExtractor(
+                arch=feature_extractor, stain_normalize_on_device=True)
         self.graph_builder = TissueGraphBuilder(
-            feature_extractor=feature_extractor, node_buckets=list(node_buckets))
+            feature_extractor=feature_extractor, node_buckets=list(node_buckets),
+            extractor=extractor)
         self._forward = jax.jit(
             lambda p, g: self.model.apply(p, g, mode="inference",
                                           deterministic=True,

@@ -124,11 +124,20 @@ class PatchFeatureExtractor:
     """Batched jitted patch featurization.
 
     ``extract(patches_uint8 [N, S, S, 3]) -> features [N, D] float32``.
+
+    The whole preprocessing chain runs ON DEVICE in one fused jit per batch:
+    uint8 upload → (optional) Macenko stain normalization → bilinear resize →
+    ImageNet normalization → encoder forward. One host→device transfer of
+    uint8 bytes per batch instead of the reference's three float32 round
+    trips (stain-norm, resize, forward) — this is what makes end-to-end
+    slide latency transfer-bound rather than compute-bound.
     """
 
     def __init__(self, arch: str = "dinov2", batch_size: int = 256,
                  seed: int = 0, image_size: int = 224,
-                 params: Optional[Any] = None):
+                 params: Optional[Any] = None,
+                 stain_normalize_on_device: bool = False,
+                 stain_alpha: float = 1.0):
         if arch not in _ARCHS:
             # reference treats unknown extractors ("ctp"/"hipt") as fallbacks
             # (tissue_graph_builder.py:129-137)
@@ -137,6 +146,8 @@ class PatchFeatureExtractor:
         kwargs, self.feature_dim = _ARCHS[arch]
         self.batch_size = batch_size
         self.image_size = image_size
+        self.stain_normalize_on_device = stain_normalize_on_device
+        self.stain_alpha = stain_alpha
         if arch == "simple_cnn":
             self.module = SimpleConvEncoder()
         else:
@@ -146,38 +157,45 @@ class PatchFeatureExtractor:
             params = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
         self._apply = jax.jit(lambda p, x: self.module.apply(p, x))
+        self._fused = jax.jit(self._fused_forward)
 
-    def _preprocess(self, patches: np.ndarray) -> np.ndarray:
-        """uint8 [N, S, S, 3] -> normalized float32 [N, image_size, ...]."""
-        x = patches.astype(np.float32) / 255.0
-        s = patches.shape[1]
-        if s != self.image_size:
-            # stride/subsample resize on host (cheap, exact ratios for 256→224
-            # handled by PIL bilinear)
-            from PIL import Image
-            x = np.stack([
-                np.asarray(Image.fromarray(p).resize(
-                    (self.image_size, self.image_size), Image.BILINEAR),
-                    np.float32) / 255.0
-                for p in patches])
-        return (x - IMAGENET_MEAN) / IMAGENET_STD
+    def _fused_forward(self, params, patches_u8: jnp.ndarray) -> jnp.ndarray:
+        """uint8 [B, S, S, 3] -> features [B, D], fully on device."""
+        x = patches_u8.astype(jnp.float32)
+        if self.stain_normalize_on_device:
+            from ..preprocessing.stain_normalization import (
+                DEFAULT_MAX_CONCENTRATIONS, DEFAULT_STAIN_MATRIX,
+                _macenko_normalize_single,
+            )
+            ref_s = jnp.asarray(DEFAULT_STAIN_MATRIX)
+            ref_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
+            x = jax.vmap(lambda img: _macenko_normalize_single(
+                img, ref_s, ref_c, self.stain_alpha))(x)
+        if x.shape[1] != self.image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], self.image_size, self.image_size, 3),
+                method="bilinear")
+        x = x / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        return self.module.apply(params, x)
 
     def extract(self, patches: np.ndarray) -> np.ndarray:
         """Featurize all patches in fixed-size padded device batches."""
         n = len(patches)
         if n == 0:
             return np.zeros((0, self.feature_dim), np.float32)
-        x = self._preprocess(patches)
+        patches = np.ascontiguousarray(patches, np.uint8)
         bs = self.batch_size
         out = []
         for i in range(0, n, bs):
-            chunk = x[i:i + bs]
-            pad = bs - len(chunk)  # pad to bs → single compiled shape
+            chunk = patches[i:i + bs]
+            real = len(chunk)
+            pad = bs - real  # pad to bs → single compiled shape
             if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]),
-                                                        np.float32)])
-            feats = np.asarray(self._apply(self.params, jnp.asarray(chunk)))
-            out.append(feats[: len(x[i:i + bs])])
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), np.uint8)])
+            feats = np.asarray(self._fused(self.params, jnp.asarray(chunk)))
+            out.append(feats[:real])
         return np.concatenate(out, axis=0)
 
     def load_npz_weights(self, path: str) -> None:

@@ -245,3 +245,21 @@ class TestDGDMModel:
             params = self.init_params(model, g)
             out = model.apply(params, g, mode="inference")
             assert out["graph_embedding"].shape == (2, 16), pooling
+
+
+class TestPresets:
+    def test_presets_construct(self):
+        from dgdm_histopath_tpu.models import create_model, list_presets
+        assert "dgdm-base" in list_presets()
+        m = create_model("dgdm-base", num_classes=2)
+        assert m.node_features == 768
+        assert m.hidden_dims == (512, 256, 128)
+        large = create_model("dgdm-large")
+        assert large.attention_heads == 16
+
+    def test_preset_override_and_unknown(self):
+        from dgdm_histopath_tpu.models import create_model
+        m = create_model("dgdm-small", num_classes=3, dropout=0.0)
+        assert m.dropout == 0.0 and m.num_classes == 3
+        with pytest.raises(ValueError):
+            create_model("dgdm-mega")
