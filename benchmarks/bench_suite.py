@@ -177,15 +177,20 @@ def bench_e2e(slides=3, width=2048, patch=256, max_patches=500,
 
     backends = [synthetic_slide(width, width, num_levels=4, seed=i + 1)[0]
                 for i in range(slides)]
+    from dgdm_histopath_tpu.utils.monitoring import GLOBAL_METRICS
+    GLOBAL_METRICS.reset()
     t0 = time.perf_counter()
     for i, b in enumerate(backends):
         pred.predict_slide(b, slide_id=f"s{i}")
     dt = (time.perf_counter() - t0) / slides
+    breakdown = {op: round(s["total_s"] / slides, 3)
+                 for op, s in GLOBAL_METRICS.summary().items()}
     return {"stage": "end_to_end_predict_slide",
             "value": round(3600.0 / dt, 1),
             "unit": f"slides/hour/chip ({width}px slide, ≤{max_patches} "
                     f"patches, {extractor}, stain-norm on)",
-            "seconds_per_slide": round(dt, 2)}
+            "seconds_per_slide": round(dt, 2),
+            "breakdown_s": breakdown}
 
 
 STAGES = {"stain": bench_stain, "feat": bench_featurize, "knn": bench_knn,
