@@ -189,23 +189,35 @@ class SlideDataset:
             return None
         return self.preprocessed_dir / f"{slide_path.stem}{GRAPH_SUFFIX}"
 
-    def preprocess_all(self, output_dir: str | Path) -> List[Path]:
-        """Offline slide→graph pass (reference :338-370)."""
+    def preprocess_all(self, output_dir: str | Path,
+                       num_workers: int = 1) -> List[Path]:
+        """Offline slide→graph pass (reference :338-370).
+
+        ``num_workers > 1`` overlaps the host-bound decode/tiling of multiple
+        slides (device work inside each build is serialized by JAX, so this
+        hides I/O latency rather than multiplying device throughput).
+        """
         out_dir = Path(output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         self.preprocessed_dir = out_dir
-        written = []
-        for path in self.slide_paths:
+
+        def work(path: Path):
             target = out_dir / f"{path.stem}{GRAPH_SUFFIX}"
             if target.exists():
-                written.append(target)
-                continue
+                return target
             try:
-                g = self._build(path)
-                written.append(save_graph(g, target))
+                return save_graph(self._build(path), target)
             except Exception as exc:  # noqa: BLE001
                 logger.error("preprocess failed for %s: %s", path, exc)
-        return written
+                return None
+
+        if num_workers <= 1:
+            results = [work(p) for p in self.slide_paths]
+        else:
+            from ..utils.distributed_processing import process_batch
+            results = process_batch(work, self.slide_paths,
+                                    num_workers=num_workers)
+        return [r for r in results if r is not None]
 
     def _build(self, slide_path: Path) -> PaddedGraph:
         data = self.processor.process_slide(slide_path)

@@ -308,8 +308,15 @@ class DGDMTrainer:
     def phase_for_epoch(self, epoch: int) -> str:
         return "pretrain" if epoch < self.config.pretrain_epochs else "finetune"
 
+    def _prepare_batch(self, batch: PaddedGraph) -> PaddedGraph:
+        """Host-side batch finalization: device padding + sharding placement."""
+        if self.mesh is not None:
+            return shard_batch(self._pad_to_devices(batch), self.mesh)
+        return batch
+
     def training_step(self, batch: PaddedGraph, epoch: Optional[int] = None,
-                      materialize: bool = True) -> Dict[str, Any]:
+                      materialize: bool = True, prepared: bool = False
+                      ) -> Dict[str, Any]:
         """One optimization step.
 
         ``materialize=False`` returns device-resident scalar metrics without
@@ -321,8 +328,8 @@ class DGDMTrainer:
             raise RuntimeError("call init_state() first")
         epoch = self.current_epoch if epoch is None else epoch
         phase = self.phase_for_epoch(epoch)
-        if self.mesh is not None:
-            batch = shard_batch(self._pad_to_devices(batch), self.mesh)
+        if not prepared:
+            batch = self._prepare_batch(batch)
         fn = self._get_step_fn(phase, batch)
         self.state, metrics = fn(self.state, batch)
         scalars = {k: v for k, v in metrics.items() if jnp.ndim(v) == 0}
@@ -360,9 +367,15 @@ class DGDMTrainer:
             t0 = time.perf_counter()
             n_steps = 0
             with monitor_operation(f"train_epoch_{phase}"):
-                for batch in train_loader:
+                # double-buffered feed: pad/shard/upload the next batch on a
+                # background thread while the device runs the current step
+                from ..utils.optimization import PrefetchIterator
+                prepared_iter = PrefetchIterator(
+                    (self._prepare_batch(b) for b in train_loader), depth=2)
+                for batch in prepared_iter:
                     # device-resident accumulation: no per-step host sync
-                    m = self.training_step(batch, epoch, materialize=False)
+                    m = self.training_step(batch, epoch, materialize=False,
+                                           prepared=True)
                     n_steps += 1
                     for k, v in m.items():
                         totals[k] = v if k not in totals else totals[k] + v
