@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     def add_common(sp):
         sp.add_argument("--config", type=str, default=None, help="YAML config path")
+        sp.add_argument("--preset", type=str, default=None,
+                        help="model preset: dgdm-base|dgdm-large|dgdm-clinical|dgdm-small")
         sp.add_argument("--data-dir", type=str, required=False)
         sp.add_argument("--output-dir", type=str, default="./outputs")
         sp.add_argument("--dataset-type", choices=["slide", "graph", "patch"],
@@ -89,6 +91,15 @@ def merge_cli_config(args: argparse.Namespace) -> DGDMConfig:
                        "hardware": {}, "logging": {}, "experiment": {}}
     m, t, d, h = (overrides["model"], overrides["training"],
                   overrides["data"], overrides["hardware"])
+    if getattr(args, "preset", None):
+        from ..models.presets import PRESETS
+        if args.preset not in PRESETS:
+            raise SystemExit(f"unknown preset {args.preset!r}; "
+                             f"options: {sorted(PRESETS)}")
+        preset = {k: (list(v) if isinstance(v, tuple) else v)
+                  for k, v in PRESETS[args.preset].items()
+                  if k != "label_note"}
+        m.update(preset)
     if args.node_features is not None:
         m["node_features"] = args.node_features
     if args.hidden_dims is not None:

@@ -61,6 +61,7 @@ class DGDMModel(nn.Module):
     num_classes: Optional[int] = None
     regression_targets: int = 0
     edge_features: int = 3
+    use_remat: bool = False   # rematerialize graph layers (memory for FLOPs)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
@@ -91,7 +92,7 @@ class DGDMModel(nn.Module):
             hidden_dim=hidden, num_layers=self.graph_layers,
             num_heads=self.attention_heads, edge_dim=self.edge_features,
             dropout=self.dropout, activation=self.activation,
-            dtype=dtype, param_dtype=pdtype)
+            remat=self.use_remat, dtype=dtype, param_dtype=pdtype)
         if self.use_spatial_attention:
             self.spatial_attention = SpatialAttention(
                 embed_dim=hidden, num_heads=self.attention_heads,

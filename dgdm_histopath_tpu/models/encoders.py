@@ -83,6 +83,7 @@ class GraphEncoder(nn.Module):
     edge_dim: int = 3
     dropout: float = 0.1
     activation: str = "gelu"
+    remat: bool = False   # jax.checkpoint each layer: FLOPs for HBM
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -108,12 +109,14 @@ class GraphEncoder(nn.Module):
         masked_nbr = nbr_mask & node_mask[..., None]
         layer_outputs = []
         attentions = []
+        layer_cls = (nn.remat(DynamicGraphLayer, static_argnums=(5, 6))
+                     if self.remat and not return_attention
+                     else DynamicGraphLayer)
         for i in range(self.num_layers):
-            result = DynamicGraphLayer(
+            result = layer_cls(
                 self.hidden_dim, self.num_heads, self.dropout, name=f"layer{i}",
                 dtype=self.dtype, param_dtype=self.param_dtype,
-            )(h, nbr_idx, masked_nbr, e, deterministic=deterministic,
-              return_attention=return_attention)
+            )(h, nbr_idx, masked_nbr, e, deterministic, return_attention)
             if return_attention:
                 h, attn = result
                 attentions.append(attn)

@@ -31,12 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, mask_ref, o_ref,
+def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
                   *, block_k: int, scale: float, inv_tau: float):
     """One (bh, q-block) program: stream K-blocks with online softmax.
 
-    q_ref [bq, D]; qpos_ref [bq, 128] (first 2 lanes = coords);
-    k_ref/v_ref [N, D]; kpos_ref [N, 128]; mask_ref [1, N]; o_ref [bq, D].
+    q_ref [bq, D]; qpos_ref [bq, 128] (lane 0 = x, lane 1 = y,
+    lane 2 = validity); k_ref/v_ref [N, D]; kpos_ref [N, 128]; o_ref [bq, D].
+    The node mask rides in lane 2 of the coordinate array so every input is
+    a well-tiled f32 load (separate narrow int32 mask blocks mis-tile under
+    Mosaic).
     """
     bq = q_ref.shape[0]
     n = k_ref.shape[0]
@@ -58,7 +61,7 @@ def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, mask_ref, o_ref,
         k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)      # [bk, D]
         v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
         kpos = kpos_ref[pl.ds(ks, block_k), 0:2].astype(jnp.float32)  # [bk, 2]
-        kmask = mask_ref[0, pl.ds(ks, block_k)]                        # [bk]
+        kmask = kpos_ref[pl.ds(ks, block_k), 2]                        # [bk] f32 0/1
 
         scores = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
         # distance bias from coords: -|pq - pk| / tau
@@ -67,13 +70,13 @@ def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, mask_ref, o_ref,
               + jnp.sum(kpos * kpos, -1)[None, :])
         dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
         scores = scores - dist * inv_tau
-        scores = jnp.where(kmask[None, :] > 0, scores, NEG_INF)
+        scores = jnp.where(kmask[None, :] > 0.5, scores, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(scores, axis=-1, keepdims=True))
         p = jnp.exp(scores - m_new)                                   # [bq, bk]
         # guard: when every key so far is masked, scores == m_new == NEG_INF
         # and exp(0) would give masked slots weight 1 — zero them explicitly
-        p = p * (kmask[None, :] > 0).astype(jnp.float32)
+        p = p * (kmask[None, :] > 0.5).astype(jnp.float32)
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.dot(p, v_blk,
@@ -89,8 +92,12 @@ def _flash_forward(q, k, v, pos, node_mask, tau: float,
     """q/k/v [BH, N, D]; pos [BH, N, 2]; node_mask [BH, N] -> [BH, N, D]."""
     bh, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    # pad pos to lane width for clean VMEM tiling; lanes beyond 2 unused
-    pos_pad = jnp.pad(pos, ((0, 0), (0, 0), (0, 126)))
+    # coords + validity packed into one lane-tiled array:
+    # lane 0 = x, lane 1 = y, lane 2 = mask, lanes 3.. zero
+    pos_pad = jnp.concatenate(
+        [pos.astype(jnp.float32),
+         node_mask.astype(jnp.float32)[..., None],
+         jnp.zeros((bh, n, 125), jnp.float32)], axis=-1)
     grid = (bh, n // block_q)
 
     kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
@@ -108,15 +115,13 @@ def _flash_forward(q, k, v, pos, node_mask, tau: float,
             pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # full v
             pl.BlockSpec((None, n, 128), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # full coords for K blocks
-            pl.BlockSpec((None, 1, n), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # mask
+                         memory_space=pltpu.VMEM),      # full coords+mask
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=interpret,
-    )(q, pos_pad, k, v, pos_pad, node_mask[:, None, :].astype(jnp.int32))
+    )(q, pos_pad, k, v, pos_pad)
 
 
 def _dense_reference(q, k, v, pos, node_mask, tau):

@@ -263,3 +263,32 @@ class TestPresets:
         assert m.dropout == 0.0 and m.num_classes == 3
         with pytest.raises(ValueError):
             create_model("dgdm-mega")
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        from dgdm_histopath_tpu.ops.graph import batch_graphs
+        g = small_batch(feat_dim=32)
+        plain = DGDMModel(node_features=32, hidden_dims=(32, 16),
+                          num_diffusion_steps=4, attention_heads=4,
+                          graph_layers=2, num_classes=2,
+                          use_hierarchical=False, compute_dtype="float32")
+        remat = plain.replace(use_remat=True) if hasattr(plain, "replace") else DGDMModel(
+            node_features=32, hidden_dims=(32, 16), num_diffusion_steps=4,
+            attention_heads=4, graph_layers=2, num_classes=2,
+            use_hierarchical=False, compute_dtype="float32", use_remat=True)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1),
+                "masking": jax.random.PRNGKey(2)}
+        params = plain.init(rngs, g, mode="pretrain", deterministic=True)
+        out1 = plain.apply(params, g, mode="inference")["classification_logits"]
+        out2 = remat.apply(params, g, mode="inference")["classification_logits"]
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-5)
+        # gradients flow through the remat path
+        def loss(p):
+            o = remat.apply(p, g, mode="inference")["classification_logits"]
+            return jnp.sum(o ** 2)
+        grads = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree_util.tree_leaves(grads))
