@@ -8,6 +8,7 @@ from .production import (
     K8sConfig, KubernetesOrchestrator, AutoScaler, ProductionOrchestrator,
     ProductionHealthChecker, DeploymentStage,
 )
+from .serving import InferenceServer, graph_from_json
 
 __all__ = [
     "EdgeConfig", "EdgeModelOptimizer", "EdgeInferenceEngine",

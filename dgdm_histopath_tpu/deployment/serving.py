@@ -1,0 +1,140 @@
+"""Minimal production inference server: health probes + batched predict.
+
+Extends the reference's deployment surface (its k8s manifests assume an
+HTTP service but the repo shipped only the health probe,
+``deployment/healthcheck.py:19-30``): this adds the actual inference
+endpoint over the packaged predictor.
+
+Endpoints:
+  GET  /healthz | /readyz    — deep health report (k8s probes)
+  GET  /info                 — model metadata
+  POST /predict              — JSON {"graph": {x, pos, nbr_idx, nbr_mask,
+                               edge_attr, node_mask}} or {"graph_path": ...}
+
+Single-threaded stdlib HTTP by design: JAX devices are single-tenant, so a
+serializing server in front of the chip is the correct concurrency model;
+scale-out happens at the replica level (see KubernetesOrchestrator).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from ..utils.security import RateLimiter
+from .production import ProductionHealthChecker
+
+logger = get_logger("serving")
+
+
+def graph_from_json(payload: Dict[str, Any]):
+    import jax.numpy as jnp
+    from ..ops.graph import PaddedGraph
+    g = payload
+    return PaddedGraph(
+        x=jnp.asarray(np.asarray(g["x"], np.float32)),
+        pos=jnp.asarray(np.asarray(g.get("pos"), np.float32)
+                        if g.get("pos") is not None
+                        else np.zeros((len(g["x"]), 2), np.float32)),
+        nbr_idx=jnp.asarray(np.asarray(g["nbr_idx"], np.int32)),
+        nbr_mask=jnp.asarray(np.asarray(g["nbr_mask"], bool)),
+        edge_attr=jnp.asarray(np.asarray(g["edge_attr"], np.float32)),
+        node_mask=jnp.asarray(np.asarray(g["node_mask"], bool)))
+
+
+class InferenceServer:
+    """Wraps a DGDMPredictor behind HTTP with rate limiting + metrics."""
+
+    def __init__(self, predictor, port: int = 8080,
+                 rate_limit_per_s: float = 50.0):
+        self.predictor = predictor
+        self.port = port
+        self.health = ProductionHealthChecker(predictor)
+        self.rate_limiter = RateLimiter(rate=rate_limit_per_s,
+                                        burst=int(rate_limit_per_s * 2))
+        self.stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
+        self._httpd: Optional[HTTPServer] = None
+
+    # ------------------------------------------------------------------
+    def handle_predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        t0 = time.perf_counter()
+        if "graph_path" in payload:
+            from ..data.graph_io import load_graph
+            graph = load_graph(payload["graph_path"])
+        elif "graph" in payload:
+            graph = graph_from_json(payload["graph"])
+        else:
+            raise ValueError("payload must contain 'graph' or 'graph_path'")
+        result = self.predictor.predict_graph(graph)
+        out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+               for k, v in result.items()}
+        out["latency_s"] = round(time.perf_counter() - t0, 4)
+        self.stats["requests"] += 1
+        self.stats["total_latency_s"] += out["latency_s"]
+        return out
+
+    # ------------------------------------------------------------------
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, body: Dict[str, Any]):
+                data = json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path in ("/healthz", "/readyz", "/health"):
+                    report = server.health.check()
+                    self._send(200 if report["healthy"] else 503, report)
+                elif self.path == "/info":
+                    info = server.predictor.get_model_info()
+                    info["serving_stats"] = dict(server.stats)
+                    self._send(200, info)
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, {"error": "not found"})
+                    return
+                if not server.rate_limiter.allow(self.client_address[0]):
+                    self._send(429, {"error": "rate limit exceeded"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    self._send(200, server.handle_predict(payload))
+                except Exception as exc:  # noqa: BLE001
+                    server.stats["errors"] += 1
+                    logger.error("predict failed: %s", exc)
+                    self._send(400, {"error": str(exc)})
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        return Handler
+
+    def start(self, background: bool = False):
+        self._httpd = HTTPServer(("", self.port), self._make_handler())
+        logger.info("inference server on :%d", self.port)
+        if background:
+            t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+            t.start()
+            return t
+        self._httpd.serve_forever()
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

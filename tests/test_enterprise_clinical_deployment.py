@@ -245,3 +245,47 @@ class TestDeployment:
         report = ProductionHealthChecker().check()
         assert report["healthy"]
         assert report["checks"]["dependencies"]
+
+
+class TestServing:
+    def test_http_predict_roundtrip(self):
+        import http.client
+        import json as _json
+        from dgdm_histopath_tpu.deployment import InferenceServer
+        from dgdm_histopath_tpu.evaluation import DGDMPredictor
+
+        model, params, g = tiny_model_setup()
+        predictor = DGDMPredictor(model=model, params=params,
+                                  feature_extractor="none")
+        server = InferenceServer(predictor, port=18099)
+        thread = server.start(background=True)
+        try:
+            conn = http.client.HTTPConnection("localhost", 18099, timeout=10)
+            # health
+            conn.request("GET", "/healthz")
+            r = conn.getresponse()
+            assert r.status == 200
+            health = _json.loads(r.read())
+            assert health["healthy"]
+            # info
+            conn.request("GET", "/info")
+            info = _json.loads(conn.getresponse().read())
+            assert info["model_type"] == "DGDMModel"
+            # predict with an inline single graph (unbatched fields)
+            single = {k: np.asarray(v).tolist() for k, v in {
+                "x": g.x[0], "pos": g.pos[0], "nbr_idx": g.nbr_idx[0],
+                "nbr_mask": g.nbr_mask[0], "edge_attr": g.edge_attr[0],
+                "node_mask": g.node_mask[0]}.items()}
+            body = _json.dumps({"graph": single})
+            conn.request("POST", "/predict", body=body,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            out = _json.loads(resp.read())
+            assert "probabilities" in out and "latency_s" in out
+            # malformed payload -> 400
+            conn.request("POST", "/predict", body="{}",
+                         headers={"Content-Type": "application/json"})
+            assert conn.getresponse().status == 400
+        finally:
+            server.stop()
