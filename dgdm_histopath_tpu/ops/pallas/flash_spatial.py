@@ -64,9 +64,13 @@ def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
         kmask = kpos_ref[pl.ds(ks, block_k), 2]                        # [bk] f32 0/1
 
         scores = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
-        # distance bias from coords: -|pq - pk| / tau
+        # distance bias from coords: -|pq - pk| / tau. The cross term MUST
+        # run at HIGHEST precision: the MXU's default bf16 multiply passes
+        # put ~1e-3 error on d², which exp(-dist/tau) amplifies into O(1)
+        # output differences vs the (VPU-exact) dense path.
         d2 = (jnp.sum(qpos * qpos, -1, keepdims=True)
-              - 2.0 * jnp.dot(qpos, kpos.T, preferred_element_type=jnp.float32)
+              - 2.0 * jnp.dot(qpos, kpos.T, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
               + jnp.sum(kpos * kpos, -1)[None, :])
         dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
         scores = scores - dist * inv_tau
