@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from .mesh import DATA_AXIS
 
@@ -76,12 +80,20 @@ def make_spmd_train_step(
     state_spec = P()
     batch_spec = P(DATA_AXIS)
 
-    smapped = shard_map(
-        per_device_step, mesh=mesh,
-        in_specs=(state_spec, batch_spec),
-        out_specs=(state_spec, state_spec),
-        check_rep=False,
-    )
+    try:
+        smapped = shard_map(
+            per_device_step, mesh=mesh,
+            in_specs=(state_spec, batch_spec),
+            out_specs=(state_spec, state_spec),
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax uses check_rep
+        smapped = shard_map(
+            per_device_step, mesh=mesh,
+            in_specs=(state_spec, batch_spec),
+            out_specs=(state_spec, state_spec),
+            check_rep=False,
+        )
     return jax.jit(smapped, donate_argnums=(0,))
 
 

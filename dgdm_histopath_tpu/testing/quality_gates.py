@@ -35,7 +35,7 @@ LEVEL_REQUIREMENTS = {
                                 "model_forward", "training_step",
                                 "preprocessing", "data_pipeline",
                                 "checkpointing", "input_validation",
-                                "determinism"]},
+                                "determinism", "prediction_end_to_end"]},
 }
 
 
@@ -182,6 +182,30 @@ def gate_input_validation() -> None:
     assert InputValidator.validate_probability(0.5, "p") == 0.5
 
 
+def gate_prediction_end_to_end() -> None:
+    """Full predict_slide on a synthetic WSI (the user-facing flow)."""
+    from ..evaluation import DGDMPredictor
+    from ..models import DGDMModel
+    from ..preprocessing import synthetic_slide
+    import jax
+    model = DGDMModel(node_features=5, hidden_dims=(16, 8), attention_heads=4,
+                      graph_layers=1, num_diffusion_steps=2, num_classes=2,
+                      use_hierarchical=False, use_spatial_attention=False,
+                      compute_dtype="float32")
+    g = _tiny_graph(feat_dim=5, b=1)
+    rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+            "masking": jax.random.PRNGKey(2)}
+    params = model.init(rngs, g, mode="pretrain", deterministic=True)
+    predictor = DGDMPredictor(model=model, params=params, patch_size=32,
+                              max_patches=20, feature_extractor="none",
+                              tissue_threshold=0.3, stain_normalize=False,
+                              node_buckets=[32, 64])
+    backend, _ = synthetic_slide(512, 512, num_levels=3, seed=9)
+    result = predictor.predict_slide(backend, slide_id="gate")
+    assert result["probabilities"].shape == (2,)
+    assert result["uncertainty"]["entropy"] >= 0.0
+
+
 def gate_determinism() -> None:
     import jax
     import numpy as np
@@ -208,6 +232,7 @@ GATES: Dict[str, Callable[[], None]] = {
     "checkpointing": gate_checkpointing,
     "input_validation": gate_input_validation,
     "determinism": gate_determinism,
+    "prediction_end_to_end": gate_prediction_end_to_end,
 }
 
 
