@@ -145,9 +145,11 @@ class SpatialAttention(nn.Module):
     distance bias on the fly with online softmax. ``return_weights`` always
     takes the dense path (heatmaps need the [N, N] weights).
 
-    Default is off: this image's remote-compile tunnel stalls on Mosaic
-    kernels (kernel correctness is covered in interpret mode by
-    tests/test_pallas.py); flip ``use_flash=True`` on direct-attached TPUs.
+    Hardware-measured crossover (TPU v5e): dense wins at N ≤ 512, flash wins
+    at N ≥ 1024. ``use_flash=True`` forces the kernel everywhere;
+    otherwise inference (``deterministic=True``) auto-selects it at
+    ``flash_auto_min_nodes`` and above. Training keeps the dense path by
+    default (the kernel's backward recomputes densely anyway).
     """
 
     embed_dim: int
@@ -155,6 +157,7 @@ class SpatialAttention(nn.Module):
     dropout: float = 0.0
     distance_tau: float = 0.1
     use_flash: bool = False
+    flash_auto_min_nodes: int = 2048
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -173,8 +176,10 @@ class SpatialAttention(nn.Module):
 
         n = x.shape[-2]
         head_dim = self.embed_dim // self.num_heads
-        flash_ok = (self.use_flash and not return_weights
-                    and n % 128 == 0 and head_dim % 128 == 0)
+        tiles = n % 128 == 0 and head_dim % 128 == 0
+        want_flash = self.use_flash or (deterministic
+                                        and n >= self.flash_auto_min_nodes)
+        flash_ok = want_flash and not return_weights and tiles
 
         # shared projections for both paths (identical param structure)
         dg = lambda name: nn.DenseGeneral(
