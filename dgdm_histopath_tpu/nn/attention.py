@@ -176,7 +176,9 @@ class SpatialAttention(nn.Module):
 
         n = x.shape[-2]
         head_dim = self.embed_dim // self.num_heads
-        tiles = n % 128 == 0 and head_dim % 128 == 0
+        # the kernel zero-pads head dims up to the 128-lane tile, so only the
+        # node count constrains eligibility
+        tiles = n % 128 == 0
         want_flash = self.use_flash or (deterministic
                                         and n >= self.flash_auto_min_nodes)
         flash_ok = want_flash and not return_weights and tiles

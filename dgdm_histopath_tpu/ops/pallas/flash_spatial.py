@@ -92,10 +92,15 @@ def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
 
 
 def _flash_forward(q, k, v, pos, node_mask, tau: float,
-                   block_q: int, block_k: int, interpret: bool):
-    """q/k/v [BH, N, D]; pos [BH, N, 2]; node_mask [BH, N] -> [BH, N, D]."""
+                   block_q: int, block_k: int, interpret: bool,
+                   scale: float = None):
+    """q/k/v [BH, N, D]; pos [BH, N, 2]; node_mask [BH, N] -> [BH, N, D].
+
+    ``scale`` is 1/sqrt(semantic head_dim) — it must come from the ORIGINAL
+    head dim when the lane padding widened D."""
     bh, n, d = q.shape
-    scale = 1.0 / math.sqrt(d)
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
     # coords + validity packed into one lane-tiled array:
     # lane 0 = x, lane 1 = y, lane 2 = mask, lanes 3.. zero
     pos_pad = jnp.concatenate(
@@ -128,10 +133,11 @@ def _flash_forward(q, k, v, pos, node_mask, tau: float,
     )(q, pos_pad, k, v, pos_pad)
 
 
-def _dense_reference(q, k, v, pos, node_mask, tau):
+def _dense_reference(q, k, v, pos, node_mask, tau, scale=None):
     """jnp reference path (also the backward)."""
     d = q.shape[-1]
-    scale = 1.0 / math.sqrt(d)
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
     scores = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
     diff = pos[:, :, None, :] - pos[:, None, :, :]
@@ -142,23 +148,27 @@ def _dense_reference(q, k, v, pos, node_mask, tau):
     return jnp.einsum("bnm,bmd->bnd", w, v.astype(jnp.float32)).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_spatial(q, k, v, pos, node_mask, tau, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_spatial(q, k, v, pos, node_mask, tau, block_q, block_k, interpret,
+                   scale):
     return _flash_forward(q, k, v, pos, node_mask, tau, block_q, block_k,
-                          interpret)
+                          interpret, scale)
 
 
-def _fwd(q, k, v, pos, node_mask, tau, block_q, block_k, interpret):
+def _fwd(q, k, v, pos, node_mask, tau, block_q, block_k, interpret, scale):
     out = _flash_forward(q, k, v, pos, node_mask, tau, block_q, block_k,
-                         interpret)
+                         interpret, scale)
     return out, (q, k, v, pos, node_mask)
 
 
-def _bwd(tau, block_q, block_k, interpret, residuals, g):
+def _bwd(tau, block_q, block_k, interpret, scale, residuals, g):
     q, k, v, pos, node_mask = residuals
-    # recompute through the dense path for exact gradients
+    # recompute through the dense path for exact gradients (the padded lanes
+    # are zeros, so the dense recompute over padded arrays matches when the
+    # same scale is used)
     _, vjp = jax.vjp(lambda q_, k_, v_: _dense_reference(q_, k_, v_, pos,
-                                                         node_mask, tau),
+                                                         node_mask, tau,
+                                                         scale=scale),
                      q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, jnp.zeros_like(pos), None
@@ -187,12 +197,15 @@ def flash_spatial_attention(
 ) -> jnp.ndarray:
     """Distance-biased masked attention without materializing [N, N].
 
-    Returns [B, N, H, D]. Uses the Pallas kernel when shapes tile cleanly
-    (N divisible by the block sizes), else the dense jnp path.
+    Returns [B, N, H, D]. Uses the Pallas kernel when N tiles cleanly;
+    head dims below the 128-lane tile are zero-padded up — free on the MXU
+    (which pads sub-tile contractions internally anyway) and the padded V
+    lanes read back as zeros, so results are exact. Falls back to the dense
+    jnp path otherwise.
     """
     b, n, h, d = q.shape
-    usable = (n % block_q == 0 and n % block_k == 0 and d % 128 == 0
-              and n >= block_q)
+    d_pad = (-d) % 128
+    usable = n % block_q == 0 and n % block_k == 0 and n >= block_q
     use_pallas = usable if force_pallas is None else (force_pallas and usable)
     # head-major flatten: [B*H, N, D]
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
@@ -201,8 +214,14 @@ def flash_spatial_attention(
     posf = jnp.repeat(pos, h, axis=0)
     maskf = jnp.repeat(node_mask, h, axis=0)
     if use_pallas:
+        sm_scale = 1.0 / math.sqrt(d)   # semantic head_dim, pre-padding
+        if d_pad:
+            pad = [(0, 0), (0, 0), (0, d_pad)]
+            qf, kf, vf = (jnp.pad(a, pad) for a in (qf, kf, vf))
         out = _flash_spatial(qf, kf, vf, posf, maskf, tau, block_q, block_k,
-                             not _on_tpu())
+                             not _on_tpu(), sm_scale)
+        if d_pad:
+            out = out[..., :d]
     else:
         out = _dense_reference(qf, kf, vf, posf, maskf, tau)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

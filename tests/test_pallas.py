@@ -106,3 +106,14 @@ class TestFlashSpatial:
         out_d = dense.apply(params, x, pos, mask)   # same params!
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
                                    atol=2e-4)
+
+    def test_small_head_dim_padded(self):
+        """head_dim 16 (the real DGDM configuration) pads to the lane tile."""
+        q, k, v, pos, mask, mask_np = _inputs(N=128, H=4, D=16, masked_from=100)
+        out_p = flash_spatial_attention(q, k, v, pos, mask, tau=0.1,
+                                        force_pallas=True)
+        out_d = _dense(q, k, v, pos, mask)
+        valid = mask_np[:, :, None, None]
+        diff = np.abs(np.asarray(out_p) - np.asarray(out_d)) * valid
+        assert out_p.shape == q.shape
+        assert diff.max() < 1e-4
