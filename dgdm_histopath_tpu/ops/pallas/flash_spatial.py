@@ -7,14 +7,26 @@ N×N distance-biased attention is the quadratic memory cap; reference
   * never materializes the [N, N] score/weight matrices in HBM;
   * computes the pairwise-distance bias (−‖p_i − p_j‖ / τ) on the fly from
     the [N, 2] coordinates inside the kernel;
-  * online-softmax accumulation in f32, tiles sized for the MXU.
+  * online-softmax accumulation in f32, tiles sized for the MXU;
+  * K/V/coords stream block-by-block through the pipelined grid (innermost
+    grid dimension), so VMEM holds only the current tiles + scratch — the
+    kernel scales to any N without VMEM growth.
 
-Layout: q/k/v are [B*H, N, D] (head-major), pos/mask broadcast per B.
-Grid: (BH, num_q_blocks); each program streams all K-blocks for one Q-block.
+Layout: q/k/v are [B*H, N, D] (head-major). Grid: (BH, Nq_blocks,
+Nk_blocks); online-softmax state (m, l, acc) lives in VMEM scratch and is
+reset at the first K-block of each Q-row, with the output written at the
+last K-block.
 
-Falls back to interpret mode off-TPU (tests), and the public wrapper routes
-through a custom VJP whose backward re-runs the reference jnp path (the
-forward is the inference-critical path; training keeps full fidelity).
+Hardware-verified numerics notes (see docs/adr/0003): the coordinate
+cross-term runs at ``Precision.HIGHEST`` — the MXU's default bf16 passes put
+~1e-3 on d², which exp(-dist/τ) amplifies into O(1) output error. The node
+mask rides in lane 2 of the coordinate array so every input is a lane-tiled
+f32 load (narrow int32 mask blocks mis-tile under Mosaic). Head dims below
+128 are zero-padded to the lane tile by the wrapper (free on the MXU, exact).
+
+The public wrapper routes through a custom VJP whose backward re-runs the
+dense jnp reference (the forward is the inference-critical path; training
+keeps full fidelity).
 """
 
 from __future__ import annotations
@@ -32,72 +44,65 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
-                  *, block_k: int, scale: float, inv_tau: float):
-    """One (bh, q-block) program: stream K-blocks with online softmax.
+                  m_ref, l_ref, acc_ref,
+                  *, scale: float, inv_tau: float):
+    """One (bh, q-block, k-block) program with scratch-carried softmax state.
 
-    q_ref [bq, D]; qpos_ref [bq, 128] (lane 0 = x, lane 1 = y,
-    lane 2 = validity); k_ref/v_ref [N, D]; kpos_ref [N, 128]; o_ref [bq, D].
-    The node mask rides in lane 2 of the coordinate array so every input is
-    a well-tiled f32 load (separate narrow int32 mask blocks mis-tile under
-    Mosaic).
+    q_ref [bq, D]; qpos_ref [bq, 128] (lane 0 = x, 1 = y, 2 = validity);
+    k_ref/v_ref [bk, D]; kpos_ref [bk, 128]; o_ref [bq, D].
+    Scratch: m_ref/l_ref [bq, 128] f32 (lane-replicated), acc_ref [bq, D] f32.
     """
-    bq = q_ref.shape[0]
-    n = k_ref.shape[0]
-    d = q_ref.shape[1]
+    j = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[:].astype(jnp.float32) * scale                   # [bq, D]
     qpos = qpos_ref[:, 0:2].astype(jnp.float32)                # [bq, 2]
+    k_blk = k_ref[:].astype(jnp.float32)                       # [bk, D]
+    v_blk = v_ref[:].astype(jnp.float32)
+    kpos = kpos_ref[:, 0:2].astype(jnp.float32)                # [bk, 2]
+    kmask = kpos_ref[:, 2]                                     # [bk] f32 0/1
 
-    # online softmax state
-    m_i = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l_i = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
+    scores = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+    d2 = (jnp.sum(qpos * qpos, -1, keepdims=True)
+          - 2.0 * jnp.dot(qpos, kpos.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+          + jnp.sum(kpos * kpos, -1)[None, :])
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    scores = scores - dist * inv_tau
+    scores = jnp.where(kmask[None, :] > 0.5, scores, NEG_INF)
 
-    num_kb = n // block_k
+    m_prev = m_ref[:, 0:1]                                     # [bq, 1]
+    l_prev = l_ref[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    p = jnp.exp(scores - m_new)
+    # fully-masked guard: exp(NEG_INF - NEG_INF) = 1 on masked slots
+    p = p * (kmask[None, :] > 0.5).astype(jnp.float32)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v_blk, preferred_element_type=jnp.float32)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    def body(kb, carry):
-        m_i, l_i, acc = carry
-        ks = kb * block_k
-        k_blk = k_ref[pl.ds(ks, block_k), :].astype(jnp.float32)      # [bk, D]
-        v_blk = v_ref[pl.ds(ks, block_k), :].astype(jnp.float32)
-        kpos = kpos_ref[pl.ds(ks, block_k), 0:2].astype(jnp.float32)  # [bk, 2]
-        kmask = kpos_ref[pl.ds(ks, block_k), 2]                        # [bk] f32 0/1
-
-        scores = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
-        # distance bias from coords: -|pq - pk| / tau. The cross term MUST
-        # run at HIGHEST precision: the MXU's default bf16 multiply passes
-        # put ~1e-3 error on d², which exp(-dist/tau) amplifies into O(1)
-        # output differences vs the (VPU-exact) dense path.
-        d2 = (jnp.sum(qpos * qpos, -1, keepdims=True)
-              - 2.0 * jnp.dot(qpos, kpos.T, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-              + jnp.sum(kpos * kpos, -1)[None, :])
-        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-        scores = scores - dist * inv_tau
-        scores = jnp.where(kmask[None, :] > 0.5, scores, NEG_INF)
-
-        m_new = jnp.maximum(m_i, jnp.max(scores, axis=-1, keepdims=True))
-        p = jnp.exp(scores - m_new)                                   # [bq, bk]
-        # guard: when every key so far is masked, scores == m_new == NEG_INF
-        # and exp(0) would give masked slots weight 1 — zero them explicitly
-        p = p * (kmask[None, :] > 0.5).astype(jnp.float32)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v_blk,
-                                        preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    m_i, l_i, acc = jax.lax.fori_loop(0, num_kb, body, (m_i, l_i, acc))
-    o_ref[:] = (acc / jnp.maximum(l_i, 1e-20)).astype(o_ref.dtype)
+    @pl.when(j == num_kb - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:, 0:1], 1e-20)
+                    ).astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, pos, node_mask, tau: float,
                    block_q: int, block_k: int, interpret: bool,
-                   scale: float = None):
+                   scale: Optional[float] = None):
     """q/k/v [BH, N, D]; pos [BH, N, 2]; node_mask [BH, N] -> [BH, N, D].
 
-    ``scale`` is 1/sqrt(semantic head_dim) — it must come from the ORIGINAL
-    head dim when the lane padding widened D."""
+    ``scale`` is 1/sqrt(semantic head_dim) — supplied by the wrapper when
+    lane padding widened D."""
     bh, n, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -107,28 +112,32 @@ def _flash_forward(q, k, v, pos, node_mask, tau: float,
         [pos.astype(jnp.float32),
          node_mask.astype(jnp.float32)[..., None],
          jnp.zeros((bh, n, 125), jnp.float32)], axis=-1)
-    grid = (bh, n // block_q)
+    grid = (bh, n // block_q, n // block_k)
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale,
-                               inv_tau=1.0 / tau)
+    kernel = functools.partial(_flash_kernel, scale=scale, inv_tau=1.0 / tau)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((None, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),      # q block
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0),
+            pl.BlockSpec((None, block_q, 128), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),      # q-block coords
-            pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # full k
-            pl.BlockSpec((None, n, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # full v
-            pl.BlockSpec((None, n, 128), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),      # full coords+mask
+            pl.BlockSpec((None, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),      # streamed k block
+            pl.BlockSpec((None, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),      # streamed v block
+            pl.BlockSpec((None, block_k, 128), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),      # streamed k coords+mask
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),    # running max (lane-rep)
+            pltpu.VMEM((block_q, 128), jnp.float32),    # running denom
+            pltpu.VMEM((block_q, d), jnp.float32),      # output accumulator
+        ],
         interpret=interpret,
     )(q, pos_pad, k, v, pos_pad)
 
@@ -163,9 +172,8 @@ def _fwd(q, k, v, pos, node_mask, tau, block_q, block_k, interpret, scale):
 
 def _bwd(tau, block_q, block_k, interpret, scale, residuals, g):
     q, k, v, pos, node_mask = residuals
-    # recompute through the dense path for exact gradients (the padded lanes
-    # are zeros, so the dense recompute over padded arrays matches when the
-    # same scale is used)
+    # recompute through the dense path for exact gradients (padded lanes are
+    # zeros, so the dense recompute over padded arrays matches at this scale)
     _, vjp = jax.vjp(lambda q_, k_, v_: _dense_reference(q_, k_, v_, pos,
                                                          node_mask, tau,
                                                          scale=scale),
