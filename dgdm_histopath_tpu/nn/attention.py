@@ -145,11 +145,14 @@ class SpatialAttention(nn.Module):
     distance bias on the fly with online softmax. ``return_weights`` always
     takes the dense path (heatmaps need the [N, N] weights).
 
-    Hardware-measured crossover (TPU v5e): dense wins at N ≤ 512, flash wins
-    at N ≥ 1024. ``use_flash=True`` forces the kernel everywhere;
-    otherwise inference (``deterministic=True``) auto-selects it at
-    ``flash_auto_min_nodes`` and above. Training keeps the dense path by
-    default (the kernel's backward recomputes densely anyway).
+    Hardware measurements (TPU v5e, bf16): with large head dims (128) the
+    kernel beats dense above the 1024-node bucket (1.6 vs 2.0 ms/iter). At
+    DGDM's actual geometry (hidden 128 / 8 heads → head_dim 16) the lane
+    padding to the 128 tile inflates DMA 8× and the fine grid starves the
+    MXU — dense wins by >20× (3.2 vs 71 ms at N=2048) — so the kernel is
+    OFF by default and XLA's fused dense attention is the production path.
+    ``use_flash=True`` (or lowering ``flash_auto_min_nodes``) opts in for
+    wide-head workloads.
     """
 
     embed_dim: int
@@ -157,7 +160,7 @@ class SpatialAttention(nn.Module):
     dropout: float = 0.0
     distance_tau: float = 0.1
     use_flash: bool = False
-    flash_auto_min_nodes: int = 2048
+    flash_auto_min_nodes: int = 1 << 30   # auto-flash disabled by default
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
