@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default=None)
         sp.add_argument("--num-classes", type=int, default=None)
         sp.add_argument("--regression-targets", type=int, default=None)
+        sp.add_argument("--survival-mode", choices=["cox", "discrete"],
+                        default=None, help="enable the survival task "
+                        "(labels are (time, event) pairs)")
+        sp.add_argument("--survival-intervals", type=int, default=None)
         # training
         sp.add_argument("--max-epochs", type=int, default=None)
         sp.add_argument("--pretrain-epochs", type=int, default=None)
@@ -118,6 +122,10 @@ def merge_cli_config(args: argparse.Namespace) -> DGDMConfig:
         m["num_classes"] = args.num_classes
     if args.regression_targets is not None:
         m["regression_targets"] = args.regression_targets
+    if getattr(args, "survival_mode", None) is not None:
+        overrides["survival"] = {"enabled": True, "mode": args.survival_mode}
+        if args.survival_intervals is not None:
+            overrides["survival"]["num_intervals"] = args.survival_intervals
     if args.max_epochs is not None:
         t["max_epochs"] = args.max_epochs
     if args.pretrain_epochs is not None:
@@ -201,10 +209,22 @@ def _execute_training(cfg: DGDMConfig, args, resume_dir=None) -> int:
         trainer.current_epoch = mgr.last_step + 1
         logger.info("resumed from epoch %d", trainer.current_epoch)
 
-    result = trainer.fit(
-        dm.train_dataloader(), dm.val_dataloader(),
-        max_epochs=cfg.training.max_epochs, checkpoint_manager=mgr,
-        early_stopping_patience=args.early_stopping_patience)
+    # experiment logger: TB/W&B by config flag, CSV/JSONL always
+    # (reference cli/train.py:332-343)
+    from ..training.experiment_logging import make_logger
+    train_logger = make_logger(cfg.logging, out_dir / "logs",
+                               run_name=cfg.experiment.name
+                               if getattr(cfg.experiment, "name", None) else None)
+    train_logger.log_hparams(config_to_dict(cfg))
+
+    try:
+        result = trainer.fit(
+            dm.train_dataloader(), dm.val_dataloader(),
+            max_epochs=cfg.training.max_epochs, checkpoint_manager=mgr,
+            early_stopping_patience=args.early_stopping_patience,
+            train_logger=train_logger)
+    finally:
+        train_logger.close()
 
     # test pass
     test_metrics = []
@@ -230,6 +250,8 @@ def _execute_training(cfg: DGDMConfig, args, resume_dir=None) -> int:
         "pooling": cfg.model.pooling,
         "num_classes": trainer.model.num_classes,
         "regression_targets": trainer.model.regression_targets,
+        "survival_mode": trainer.model.survival_mode,
+        "survival_intervals": trainer.model.survival_intervals,
         "compute_dtype": cfg.model.compute_dtype,
     }
     import jax as _jax

@@ -193,25 +193,81 @@ class EdgeDeploymentManager:
 
     def package(self, model, params, model_config: Dict[str, Any],
                 config: Optional[EdgeConfig] = None) -> Path:
+        """Write an npz edge bundle (``allow_pickle=False`` end to end).
+
+        Clinical edge bundles get copied between machines; the round-1 pickle
+        format was an arbitrary-code-execution hazard on load (ADVICE r1).
+        Leaves are name-keyed (``p:<path>``) with per-leaf quantization
+        metadata in the JSON header — no code objects anywhere.
+        """
         config = config or EdgeConfig()
-        optimizer = EdgeModelOptimizer(config)
-        packed = optimizer.optimize(params)
-        import pickle
-        bundle_path = self.output_dir / "edge_model.pkl"
-        with open(bundle_path, "wb") as f:
-            pickle.dump({"packed": packed, "model_config": model_config,
-                         "edge_config": config.__dict__}, f, protocol=4)
+        from ..training.checkpoint import _KEY_PREFIX, _path_str
+        flat_with_paths, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(params))
+        arrays: Dict[str, np.ndarray] = {}
+        leaf_meta: Dict[str, Dict[str, Any]] = {}
+        before = after = 0
+        for kp, leaf in flat_with_paths:
+            name = _path_str(kp)
+            arr = np.asarray(leaf)
+            before += arr.nbytes
+            if (config.quantization == "int8" and arr.dtype.kind == "f"
+                    and arr.size > 16):
+                scale = float(np.abs(arr).max() / 127.0) or 1.0
+                stored = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+                leaf_meta[name] = {"kind": "int8", "scale": scale}
+            elif config.quantization == "bf16" and arr.dtype.kind == "f":
+                # bf16 stored as a uint16 view (npz has no native bf16)
+                stored = np.asarray(jnp.asarray(arr, jnp.bfloat16)).view(np.uint16)
+                leaf_meta[name] = {"kind": "bf16"}
+            else:
+                stored = arr
+                leaf_meta[name] = {"kind": "raw"}
+            arrays[_KEY_PREFIX + name] = stored
+            after += stored.nbytes
+        stats = {"bytes_before": before, "bytes_after": after,
+                 "compression": before / max(after, 1)}
+        meta = {"format": "edge_npz_v2", "model_config": model_config,
+                "edge_config": config.__dict__, "leaves": leaf_meta,
+                "stats": stats}
+        bundle_path = self.output_dir / "edge_model.npz"
+        np.savez_compressed(bundle_path, __meta__=json.dumps(meta), **arrays)
         (self.output_dir / "manifest.json").write_text(json.dumps({
-            "format": packed["format"], "stats": packed["stats"],
+            "format": config.quantization, "stats": stats,
             "model_config": model_config, "created": time.time()}, indent=2))
+        logger.info("edge bundle: %.1f MB -> %.1f MB (%.2fx) at %s",
+                    before / 1e6, after / 1e6, stats["compression"], bundle_path)
         return bundle_path
 
     @staticmethod
     def load(bundle_path: str | Path):
-        import pickle
+        """Load an npz edge bundle — never unpickles untrusted bytes."""
         from ..models.dgdm import DGDMModel
-        with open(bundle_path, "rb") as f:
-            bundle = pickle.load(f)
-        model = DGDMModel(**bundle["model_config"])
-        return EdgeInferenceEngine(model, bundle["packed"],
-                                   EdgeConfig(**bundle["edge_config"]))
+        from ..training.checkpoint import _KEY_PREFIX
+        bundle_path = Path(bundle_path)
+        if bundle_path.suffix == ".pkl":
+            raise ValueError(
+                "legacy pickle edge bundles are no longer loaded (arbitrary "
+                "code execution risk); re-export with "
+                "EdgeDeploymentManager.package()")
+        data = np.load(bundle_path, allow_pickle=False)
+        meta = json.loads(str(data["__meta__"]))
+        # rebuild the nested params dict from '/'-joined leaf paths
+        params: Dict[str, Any] = {}
+        for name, info in meta["leaves"].items():
+            arr = data[_KEY_PREFIX + name]
+            if info["kind"] == "int8":
+                leaf = jnp.asarray(arr, jnp.float32) * info["scale"]
+            elif info["kind"] == "bf16":
+                leaf = jnp.asarray(arr.view(jnp.bfloat16))
+            else:
+                leaf = jnp.asarray(arr)
+            node = params
+            parts = name.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = leaf
+        model = DGDMModel(**meta["model_config"])
+        packed = {"format": "none", "data": params}
+        return EdgeInferenceEngine(model, packed,
+                                   EdgeConfig(**meta["edge_config"]))

@@ -1,14 +1,20 @@
 """AttentionVisualizer: heatmaps, graph renders, prediction summaries.
 
 Parity surface: reference ``dgdm_histopath/evaluation/visualizer.py:34-509``
-— matplotlib attention scatter/heatmap (:102-153), graph render (:214-302),
-prediction summary panel (:304-402), biomarker chart (:404-459), uncertainty
-plot (:461-509). (The reference's plotly variants are covered by the same
-figures; plotly is optional here.)
+— matplotlib attention scatter/heatmap (:102-153), **interactive plotly
+heatmap (:155-212)**, graph render (:214-302), prediction summary panel
+(:304-402, interactive variant included), biomarker chart (:404-459),
+uncertainty plot (:461-509).
+
+Interactive figures are built as plain plotly-schema dicts (``{"data": [...],
+"layout": {...}}``): they render through ``plotly.graph_objects.Figure`` when
+plotly is importable (matching the reference's import-gating) and are always
+serializable to standalone HTML (plotly.js CDN) or JSON without it.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -26,10 +32,51 @@ try:
 except ImportError:  # pragma: no cover
     MATPLOTLIB_AVAILABLE = False
 
+try:  # pragma: no cover - plotly not in this image; reference gates the same
+    import plotly.graph_objects as go
+    PLOTLY_AVAILABLE = True
+except ImportError:
+    PLOTLY_AVAILABLE = False
+
 
 def _require_mpl():
     if not MATPLOTLIB_AVAILABLE:
         raise ImportError("matplotlib is required for visualization")
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8">
+<script src="https://cdn.plot.ly/plotly-2.27.0.min.js"></script>
+</head><body>
+<div id="fig" style="width:100%;height:92vh;"></div>
+<script>
+var spec = {spec_json};
+Plotly.newPlot("fig", spec.data, spec.layout, {{responsive: true}});
+</script>
+</body></html>
+"""
+
+
+def save_interactive(spec: Dict[str, Any], save_path: str | Path) -> Path:
+    """Write a plotly figure spec as standalone ``.html`` (plotly.js CDN) or
+    raw ``.json``; no plotly import needed."""
+    save_path = Path(save_path)
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+    if save_path.suffix == ".json":
+        save_path.write_text(json.dumps(spec))
+    else:
+        save_path.write_text(
+            _HTML_TEMPLATE.format(spec_json=json.dumps(spec)))
+    return save_path
+
+
+def to_plotly_figure(spec: Dict[str, Any]):
+    """Wrap a figure spec in ``plotly.graph_objects.Figure`` (requires
+    plotly, like the reference's interactive methods)."""
+    if not PLOTLY_AVAILABLE:
+        raise ImportError("plotly is required for Figure objects; the dict "
+                          "spec and save_interactive() work without it")
+    return go.Figure(spec)
 
 
 class AttentionVisualizer:
@@ -140,6 +187,131 @@ class AttentionVisualizer:
         fig.suptitle(result.get("slide_id", ""))
         fig.tight_layout()
         return self._finish(fig, save_path)
+
+    # ------------------------------------------------------------------
+    # interactive (plotly-schema) variants — reference :155-212, :304-402
+    # ------------------------------------------------------------------
+    def attention_heatmap_interactive(
+        self,
+        pos: np.ndarray,
+        attention: np.ndarray,
+        node_mask: Optional[np.ndarray] = None,
+        save_path: Optional[str | Path] = None,
+        title: str = "Attention heatmap",
+        as_figure: bool = False,
+    ):
+        """Interactive scatter heatmap with per-patch hover (reference's
+        plotly variant, ``visualizer.py:155-212``). Returns the figure spec
+        dict (or a ``go.Figure`` with ``as_figure=True``); writes standalone
+        HTML/JSON when ``save_path`` is given."""
+        pos = np.asarray(pos, np.float64)
+        attention = np.asarray(attention, np.float64)
+        if node_mask is not None:
+            mask = np.asarray(node_mask, bool)
+            pos, attention = pos[mask], attention[mask]
+        hover = [f"patch {i}<br>x={x:.3f} y={y:.3f}<br>attention={a:.4f}"
+                 for i, ((x, y), a) in enumerate(zip(pos, attention))]
+        spec = {
+            "data": [{
+                "type": "scattergl",
+                "mode": "markers",
+                "x": pos[:, 0].tolist(),
+                "y": (1.0 - pos[:, 1]).tolist(),
+                "text": hover,
+                "hoverinfo": "text",
+                "marker": {
+                    "size": 7,
+                    "color": attention.tolist(),
+                    "colorscale": "Viridis",
+                    "colorbar": {"title": "attention"},
+                    "showscale": True,
+                },
+            }],
+            "layout": {
+                "title": {"text": title},
+                "xaxis": {"range": [0, 1], "title": "x"},
+                "yaxis": {"range": [0, 1], "title": "y",
+                          "scaleanchor": "x", "scaleratio": 1},
+                "template": "plotly_white",
+            },
+        }
+        if save_path is not None:
+            save_interactive(spec, save_path)
+        return to_plotly_figure(spec) if as_figure else spec
+
+    def prediction_summary_interactive(
+        self,
+        result: Dict[str, Any],
+        class_names: Optional[Sequence[str]] = None,
+        save_path: Optional[str | Path] = None,
+        as_figure: bool = False,
+    ):
+        """Interactive multi-panel summary: class probabilities + spatial
+        attention + uncertainty (reference's richer plotly panel,
+        ``visualizer.py:304-402``). Panels share one layout via axis
+        domains."""
+        data: List[Dict[str, Any]] = []
+        layout: Dict[str, Any] = {
+            "title": {"text": str(result.get("slide_id", "prediction"))},
+            "template": "plotly_white",
+            "showlegend": False,
+            # three side-by-side panels
+            "xaxis": {"domain": [0.0, 0.30]},
+            "yaxis": {"range": [0, 1], "title": "probability"},
+            "xaxis2": {"domain": [0.36, 0.66], "anchor": "y2", "title": "x"},
+            "yaxis2": {"anchor": "x2", "title": "y"},
+            "xaxis3": {"domain": [0.72, 1.0], "anchor": "y3"},
+            "yaxis3": {"anchor": "x3", "title": "value"},
+        }
+        probs = result.get("probabilities")
+        if probs is not None:
+            probs = np.asarray(probs, np.float64)
+            names = list(class_names or [f"class {i}" for i in range(len(probs))])
+            data.append({
+                "type": "bar", "x": names, "y": probs.tolist(),
+                "marker": {"color": "#3366cc"},
+                "xaxis": "x", "yaxis": "y",
+                "hovertemplate": "%{x}: %{y:.3f}<extra></extra>",
+            })
+            pred = result.get("predicted_class")
+            if pred is not None:
+                conf = result.get("confidence", float(probs.max()))
+                layout["annotations"] = [{
+                    "x": 0.15, "y": 1.08, "xref": "paper", "yref": "paper",
+                    "showarrow": False,
+                    "text": f"prediction: {names[int(pred)]} ({conf:.2f})",
+                }]
+        attn = result.get("attention_weights")
+        infos = result.get("patch_info")
+        if attn is not None and infos:
+            xs = np.asarray([p["x"] for p in infos], np.float64)
+            ys = np.asarray([p["y"] for p in infos], np.float64)
+            xs = xs / max(xs.max(), 1)
+            ys = ys / max(ys.max(), 1)
+            a = np.asarray(attn, np.float64)[: len(xs)]
+            data.append({
+                "type": "scattergl", "mode": "markers",
+                "x": xs.tolist(), "y": (1 - ys).tolist(),
+                "marker": {"size": 6, "color": a.tolist(),
+                           "colorscale": "Viridis", "showscale": True,
+                           "colorbar": {"title": "attention", "x": 0.66}},
+                "xaxis": "x2", "yaxis": "y2",
+                "hovertemplate": "attention=%{marker.color:.4f}<extra></extra>",
+            })
+        unc = result.get("uncertainty")
+        if unc:
+            keys = ["entropy", "normalized_entropy", "max_probability", "margin"]
+            vals = [float(unc.get(k, np.nan)) for k in keys]
+            data.append({
+                "type": "bar", "x": keys, "y": vals,
+                "marker": {"color": "#ff7f0e"},
+                "xaxis": "x3", "yaxis": "y3",
+                "hovertemplate": "%{x}: %{y:.3f}<extra></extra>",
+            })
+        spec = {"data": data, "layout": layout}
+        if save_path is not None:
+            save_interactive(spec, save_path)
+        return to_plotly_figure(spec) if as_figure else spec
 
     def biomarker_chart(self, biomarkers: List[Dict[str, Any]],
                         save_path: Optional[str | Path] = None):

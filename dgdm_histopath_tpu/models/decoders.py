@@ -130,38 +130,51 @@ class RegressionHead(nn.Module):
 
 
 def cox_partial_likelihood(risk: jnp.ndarray, time: jnp.ndarray,
-                           event: jnp.ndarray) -> jnp.ndarray:
+                           event: jnp.ndarray,
+                           valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Breslow-approximation Cox partial likelihood, fully vectorized.
 
     risk [B] log-hazards; time [B]; event [B] in {0,1}. Mirrors reference
     ``models/decoders.py:433-457`` without the O(B²) pair loop: the risk set
     of sample i is {j : time_j >= time_i}, realized as a [B, B] mask.
+    ``valid`` [B] excludes filler rows (device-padding graphs) from both the
+    risk sets and the event sum.
     """
     risk = risk.astype(jnp.float32)
     at_risk = (time[None, :] >= time[:, None])           # [B, B]
+    ev = event.astype(jnp.float32)
+    if valid is not None:
+        v = valid.astype(bool)
+        at_risk = at_risk & v[None, :] & v[:, None]
+        ev = ev * v.astype(jnp.float32)
     neg = jnp.finfo(jnp.float32).min
     masked = jnp.where(at_risk, risk[None, :], neg)
     log_risk_set = jax.nn.logsumexp(masked, axis=-1)
-    per_event = (risk - log_risk_set) * event.astype(jnp.float32)
-    return -jnp.sum(per_event) / jnp.maximum(jnp.sum(event), 1.0)
+    per_event = (risk - log_risk_set) * ev
+    return -jnp.sum(per_event) / jnp.maximum(jnp.sum(ev), 1.0)
 
 
 def discrete_survival_loss(hazard_logits: jnp.ndarray, interval: jnp.ndarray,
-                           event: jnp.ndarray) -> jnp.ndarray:
+                           event: jnp.ndarray,
+                           valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Discrete-time survival NLL, batched (replaces reference's per-sample
     loop at :459-496). hazard_logits [B, T]; interval [B] int in [0, T);
-    event [B] in {0,1}."""
+    event [B] in {0,1}; ``valid`` [B] excludes filler rows."""
     T = hazard_logits.shape[-1]
     log_h = jax.nn.log_sigmoid(hazard_logits.astype(jnp.float32))       # log h_t
     log_1mh = jax.nn.log_sigmoid(-hazard_logits.astype(jnp.float32))    # log (1-h_t)
     t_idx = jnp.arange(T)[None, :]
+    interval = jnp.clip(interval, 0, T - 1)
     before = (t_idx < interval[:, None]).astype(jnp.float32)
     survive_term = jnp.sum(log_1mh * before, axis=-1)
     at = jnp.take_along_axis(log_h, interval[:, None], axis=-1)[:, 0]
     at_1mh = jnp.take_along_axis(log_1mh, interval[:, None], axis=-1)[:, 0]
     ev = event.astype(jnp.float32)
     loglik = survive_term + ev * at + (1.0 - ev) * at_1mh
-    return -jnp.mean(loglik)
+    if valid is None:
+        return -jnp.mean(loglik)
+    v = valid.astype(jnp.float32)
+    return -jnp.sum(loglik * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 class SurvivalHead(nn.Module):

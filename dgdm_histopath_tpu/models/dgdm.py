@@ -31,7 +31,7 @@ from ..nn.diffusion import DiffusionLayer
 from ..nn.graph_layers import GraphUNet
 from ..ops.graph import PaddedGraph
 from ..utils.exceptions import ConfigurationError
-from .decoders import ClassificationHead, RegressionHead
+from .decoders import ClassificationHead, RegressionHead, SurvivalHead
 from .encoders import FeatureEncoder, GraphEncoder
 from .pooling import make_pool
 
@@ -60,6 +60,8 @@ class DGDMModel(nn.Module):
     pooling: str = "attention"
     num_classes: Optional[int] = None
     regression_targets: int = 0
+    survival_mode: Optional[str] = None   # None | "cox" | "discrete"
+    survival_intervals: int = 10
     edge_features: int = 3
     use_remat: bool = False   # rematerialize graph layers (memory for FLOPs)
     compute_dtype: str = "bfloat16"
@@ -114,6 +116,13 @@ class DGDMModel(nn.Module):
             self.regression_head = RegressionHead(
                 num_targets=self.regression_targets, hidden_dims=(hidden,),
                 dropout=self.dropout, dtype=dtype, param_dtype=pdtype)
+        if self.survival_mode is not None:
+            if self.survival_mode not in ("cox", "discrete"):
+                raise ConfigurationError("survival_mode must be cox|discrete")
+            self.survival_head = SurvivalHead(
+                mode=self.survival_mode, num_intervals=self.survival_intervals,
+                hidden_dims=(hidden,), dropout=self.dropout,
+                dtype=dtype, param_dtype=pdtype)
         # persistent learned mask token (bug-fix §8.2; reference created a
         # fresh unregistered parameter per call at dgdm_model.py:499)
         self.mask_token = self.param(
@@ -193,6 +202,9 @@ class DGDMModel(nn.Module):
                 pooled, deterministic=deterministic)
         if self.regression_targets > 0:
             outputs["regression"] = self.regression_head(
+                pooled, deterministic=deterministic)
+        if self.survival_mode is not None:
+            outputs["survival"] = self.survival_head(
                 pooled, deterministic=deterministic)
         return outputs
 

@@ -152,10 +152,12 @@ class PatchFeatureExtractor:
             self.module = SimpleConvEncoder()
         else:
             self.module = VisionTransformer(**kwargs)
+        self.weights_loaded = params is not None
         if params is None:
             dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             params = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
+        self._warned_random_init = False
         self._apply = jax.jit(lambda p, x: self.module.apply(p, x))
         self._fused = jax.jit(self._fused_forward)
 
@@ -184,6 +186,22 @@ class PatchFeatureExtractor:
         n = len(patches)
         if n == 0:
             return np.zeros((0, self.feature_dim), np.float32)
+        if not self.weights_loaded and not self._warned_random_init:
+            # the reference featurizes with *pretrained* timm DINOv2
+            # (tissue_graph_builder.py:87-99); random-init embeddings are
+            # structurally valid but semantically meaningless — warn loudly
+            # once rather than silently degrading downstream predictions
+            import warnings
+
+            from ..utils.logging import get_logger
+            msg = (f"PatchFeatureExtractor(arch={self.arch!r}) is running with "
+                   "RANDOM-INIT weights — embeddings carry no pathology "
+                   "semantics. Load converted pretrained weights via "
+                   "load_npz_weights() (see scripts/convert_timm_vit.py) or "
+                   "pass params= explicitly.")
+            warnings.warn(msg, UserWarning, stacklevel=2)
+            get_logger("models.vit").warning(msg)
+            self._warned_random_init = True
         patches = np.ascontiguousarray(patches, np.uint8)
         bs = self.batch_size
         out = []
@@ -203,3 +221,4 @@ class PatchFeatureExtractor:
         .save_model_bundle``."""
         from ..training.checkpoint import load_model_bundle
         self.params = load_model_bundle(path, self.params)
+        self.weights_loaded = True

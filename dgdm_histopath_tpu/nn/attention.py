@@ -184,7 +184,11 @@ class SpatialAttention(nn.Module):
         tiles = n % 128 == 0
         want_flash = self.use_flash or (deterministic
                                         and n >= self.flash_auto_min_nodes)
-        flash_ok = want_flash and not return_weights and tiles
+        # the Pallas kernel has no attention-weight dropout: taking it while
+        # training with dropout>0 would silently change regularization vs the
+        # dense path (ADVICE r1), so flash requires deterministic or dropout=0
+        no_dropout = deterministic or self.dropout == 0.0
+        flash_ok = want_flash and not return_weights and tiles and no_dropout
 
         # shared projections for both paths (identical param structure)
         dg = lambda name: nn.DenseGeneral(

@@ -205,8 +205,11 @@ def from_edge_index(
     """Convert a COO edge list (the reference's on-disk format) to PaddedGraph.
 
     ``edge_index`` is [2, E] with rows (src, dst); incoming edges of node i are
-    those with dst == i, truncated to ``max_neighbors`` (highest-weight first
-    when edge_attr present, else arbitrary order).
+    those with dst == i, truncated to ``max_neighbors`` — highest-weight first
+    when ``edge_attr`` is present (weight = last attr column, matching the
+    builder's [dist, weight] / [sim] layouts), else input order. Without the
+    weight sort, strong edges of high-degree nodes would be silently dropped
+    when converting reference COO graphs (ADVICE r1).
     """
     n = x.shape[0]
     e_dim = 1 if edge_attr is None else (edge_attr.shape[1] if edge_attr.ndim == 2 else 1)
@@ -215,11 +218,19 @@ def from_edge_index(
     attr = np.zeros((n, max_neighbors, e_dim), dtype=np.float32)
     if edge_index.size:
         src, dst = edge_index[0], edge_index[1]
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
+        n_edges = src.shape[0]
         ea = None
-        if edge_attr is not None:
-            ea = edge_attr.reshape(len(order), -1)[order] if edge_attr.shape[0] == len(order) else None
+        if edge_attr is not None and edge_attr.shape[0] == n_edges:
+            ea = edge_attr.reshape(n_edges, -1)
+        if ea is not None:
+            # sort by (dst asc, weight desc) so per-node truncation keeps the
+            # strongest incoming edges
+            order = np.lexsort((-ea[:, -1], dst))
+        else:
+            order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        if ea is not None:
+            ea = ea[order]
         starts = np.searchsorted(dst, np.arange(n), side="left")
         ends = np.searchsorted(dst, np.arange(n), side="right")
         for i in range(n):

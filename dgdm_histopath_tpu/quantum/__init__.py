@@ -16,8 +16,10 @@ from .federated_learning import (
     FederatedClient, FederatedServer, FederatedStrategy, FederatedDGDMManager,
     DPConfig,
 )
+from .safety import QuantumSafetyManager, SafeScheduler
 
 __all__ = [
+    "QuantumSafetyManager", "SafeScheduler",
     "QuantumTaskPlanner", "QuantumPlanner", "Task", "TaskPriority", "TaskStatus",
     "QuantumScheduler", "SchedulingStrategy", "ResourceSnapshot", "read_resources",
     "QuantumOptimizer", "OptimizationSpace", "Parameter", "Trial",

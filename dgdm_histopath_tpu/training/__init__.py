@@ -6,10 +6,12 @@ from .losses import (
     graph_reconstruction_loss, multi_task_loss,
 )
 from .checkpoint import CheckpointManager, save_model_bundle, load_model_bundle
+from .experiment_logging import TrainLogger, make_logger
 
 __all__ = [
     "DGDMTrainer", "TrainerConfig", "TrainState", "make_optimizer", "make_lr_schedule",
     "diffusion_loss", "contrastive_loss", "contrastive_loss_pairs", "masked_lm_loss",
     "graph_reconstruction_loss", "multi_task_loss",
     "CheckpointManager", "save_model_bundle", "load_model_bundle",
+    "TrainLogger", "make_logger",
 ]

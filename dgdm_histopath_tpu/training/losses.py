@@ -51,19 +51,34 @@ def contrastive_loss(
     node_mask: jnp.ndarray,         # [B, N]
     temperature: float = 0.1,
     max_nodes_per_graph: int = 64,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """InfoNCE: nodes of the same graph are positives, nodes of other graphs
     in the batch are negatives (reference ``losses.py:123-175``).
 
     The reference builds an O((B·N)²) similarity matrix over *all* nodes; at
-    N=1000+ that blows HBM, so we subsample ``max_nodes_per_graph`` leading
-    real nodes per graph (pad-first ordering keeps real nodes in front after
-    graph construction) — semantics match at equal node counts.
+    N=1000+ that blows HBM, so we subsample ``max_nodes_per_graph`` nodes per
+    graph. The subsample is a *uniform random* draw over each graph's real
+    (unpadded) nodes when ``rng`` is given — a fixed slice would bias toward
+    raster-order top rows every step, and for re-masked graphs (node
+    subsampling / adaptive pooling) a leading slice can be mostly padding.
+    Without ``rng`` the selection is still mask-aware (real nodes first) but
+    deterministic. Static shapes throughout: selection is a top-k over
+    ``mask*2 + uniform`` so real nodes always outrank padding.
     """
     b, n, f = node_embeddings.shape
     m = min(n, max_nodes_per_graph)
-    emb = node_embeddings[:, :m].astype(jnp.float32)        # [B, M, F]
-    mask = node_mask[:, :m]                                  # [B, M]
+    if m < n:
+        score = node_mask.astype(jnp.float32) * 2.0
+        if rng is not None:
+            score = score + jax.random.uniform(rng, (b, n))
+        _, sel = jax.lax.top_k(score, m)                     # [B, M] indices
+        emb = jnp.take_along_axis(node_embeddings, sel[..., None], axis=1)
+        mask = jnp.take_along_axis(node_mask, sel, axis=1)   # [B, M]
+        emb = emb.astype(jnp.float32)
+    else:
+        emb = node_embeddings.astype(jnp.float32)            # [B, M, F]
+        mask = node_mask                                     # [B, M]
 
     flat = emb.reshape(b * m, f)
     flat_mask = mask.reshape(b * m)

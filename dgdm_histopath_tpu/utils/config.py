@@ -137,6 +137,15 @@ class RegressionConfig:
 
 
 @dataclass
+class SurvivalConfig:
+    """Survival-analysis task (reference SurvivalHead,
+    ``models/decoders.py:323-496``): labels are (time, event) pairs."""
+    enabled: bool = False
+    mode: str = "cox"        # cox | discrete
+    num_intervals: int = 10  # discrete-time bins
+
+
+@dataclass
 class AdvancedConfig:
     gradient_clip_val: float = 1.0
     accumulate_grad_batches: int = 1
@@ -155,6 +164,7 @@ class DGDMConfig:
     logging: LoggingConfig = field(default_factory=LoggingConfig)
     classification: ClassificationConfig = field(default_factory=ClassificationConfig)
     regression: RegressionConfig = field(default_factory=RegressionConfig)
+    survival: SurvivalConfig = field(default_factory=SurvivalConfig)
     advanced: AdvancedConfig = field(default_factory=AdvancedConfig)
 
     def validate(self) -> None:

@@ -89,6 +89,14 @@ class InputSanitizer:
             raise SecurityError("invalid filename", {"name": name})
         return cleaned[:255]
 
+    @classmethod
+    def sanitize_identifier(cls, name: str) -> str:
+        """Usernames / job names: alnum plus ``-_.``, must start alnum."""
+        cleaned = re.sub(r"[^A-Za-z0-9._\-]", "_", str(name))
+        if not cleaned or not cleaned[0].isalnum():
+            raise SecurityError("invalid identifier", {"name": str(name)[:64]})
+        return cleaned[:64]
+
 
 class PHIDetector:
     """Heuristic protected-health-information detector (reference :556)."""

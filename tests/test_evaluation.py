@@ -188,3 +188,53 @@ class TestVisualizer:
         p = viz.prediction_summary(result, class_names=["benign", "tumor"],
                                    save_path=tmp_path / "summary.png")
         assert p.exists()
+
+    def test_interactive_heatmap_spec_and_html(self, tmp_path):
+        import json as _json
+        viz = AttentionVisualizer()
+        pos = np.random.RandomState(0).rand(20, 2)
+        attn = np.random.RandomState(1).rand(20)
+        mask = np.ones(20, bool)
+        mask[15:] = False
+        spec = viz.attention_heatmap_interactive(
+            pos, attn, mask, save_path=tmp_path / "heat.html")
+        assert spec["data"][0]["type"] == "scattergl"
+        assert len(spec["data"][0]["x"]) == 15        # masked rows dropped
+        assert spec["data"][0]["marker"]["colorscale"] == "Viridis"
+        html = (tmp_path / "heat.html").read_text()
+        assert "Plotly.newPlot" in html and "cdn.plot.ly" in html
+        # JSON export path
+        viz.attention_heatmap_interactive(pos, attn, mask,
+                                          save_path=tmp_path / "heat.json")
+        loaded = _json.loads((tmp_path / "heat.json").read_text())
+        assert loaded["layout"]["yaxis"]["scaleanchor"] == "x"
+
+    def test_interactive_summary_spec(self, tmp_path):
+        viz = AttentionVisualizer()
+        result = {
+            "slide_id": "s", "probabilities": np.array([0.2, 0.8]),
+            "predicted_class": 1, "confidence": 0.8,
+            "attention_weights": np.random.rand(10),
+            "patch_info": [{"x": i * 10, "y": i * 5} for i in range(10)],
+            "uncertainty": {"entropy": 0.5, "normalized_entropy": 0.7,
+                            "max_probability": 0.8, "margin": 0.6},
+        }
+        spec = viz.prediction_summary_interactive(
+            result, class_names=["benign", "tumor"],
+            save_path=tmp_path / "summary.html")
+        kinds = [(t["type"], t.get("xaxis", "x")) for t in spec["data"]]
+        assert ("bar", "x") in kinds            # probabilities panel
+        assert ("scattergl", "x2") in kinds     # attention panel
+        assert ("bar", "x3") in kinds           # uncertainty panel
+        assert "prediction: tumor" in spec["layout"]["annotations"][0]["text"]
+        assert (tmp_path / "summary.html").exists()
+
+    def test_to_plotly_figure_gated(self):
+        from dgdm_histopath_tpu.evaluation.visualizer import (
+            PLOTLY_AVAILABLE, to_plotly_figure)
+        spec = {"data": [], "layout": {}}
+        if PLOTLY_AVAILABLE:
+            assert to_plotly_figure(spec) is not None
+        else:
+            with pytest.raises(ImportError):
+                to_plotly_figure(spec)

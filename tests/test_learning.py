@@ -64,6 +64,46 @@ class TestLearning:
         assert acc >= 0.9, f"val accuracy {acc}"
         assert metrics["auc"] >= 0.95, f"val AUC {metrics['auc']}"
 
+    def test_survival_task_is_learned(self):
+        """Synthetic hazard: risk increases with the mean of the first 4
+        feature dims → shorter survival time. Cox training must rank-order
+        (C-index > 0.8). (VERDICT r1 next-round item #7.)"""
+        def make_survival_graph(seed):
+            rs = np.random.RandomState(seed)
+            g = make_synthetic_graph(seed=seed, n_nodes=32, n_real=24,
+                                     feat_dim=16)
+            shift = rs.uniform(-1.5, 1.5)
+            x = np.array(g.x)
+            x[:24, :4] += shift
+            # high shift → high hazard → early event
+            time = float(np.exp(-shift) * 10.0 + rs.uniform(0, 0.5))
+            event = 1.0
+            return g.replace(x=jnp.asarray(x),
+                             y=jnp.asarray([time, event], jnp.float32))
+
+        model = DGDMModel(node_features=16, hidden_dims=(32, 16),
+                          num_diffusion_steps=3, attention_heads=4,
+                          graph_layers=2, survival_mode="cox",
+                          use_hierarchical=False, compute_dtype="float32",
+                          dropout=0.0)
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=3e-3, warmup_steps=5, pretrain_epochs=0,
+            steps_per_epoch=8, scheduler_type="none"), use_mesh=False)
+        assert trainer.task == "survival"
+
+        train_batches = [batch_graphs([make_survival_graph(s) for s in
+                                       range(i * 8, i * 8 + 8)])
+                         for i in range(4)]
+        val_batches = [batch_graphs([make_survival_graph(s)
+                                     for s in range(100 + i * 8, 108 + i * 8)])
+                       for i in range(2)]
+        trainer.init_state(jax.random.PRNGKey(0), train_batches[0])
+
+        result = trainer.fit(train_batches * 4, val_batches, max_epochs=4)
+        cindex = result["history"][-1]["val_cindex"]
+        assert np.isfinite(result["history"][-1]["val_loss"])
+        assert cindex > 0.8, f"val C-index {cindex}"
+
     def test_pretrain_improves_diffusion_loss(self):
         model = DGDMModel(node_features=16, hidden_dims=(32, 16),
                           num_diffusion_steps=3, attention_heads=4,

@@ -63,11 +63,66 @@ class TestLosses:
         l_tight = contrastive_loss(jnp.asarray(emb[:, :8]), jnp.asarray(mask[:, :8]))
         assert float(l_pad) == pytest.approx(float(l_tight), rel=1e-5)
 
+    def test_contrastive_subsample_mask_aware(self):
+        # re-masked graphs can have real nodes anywhere (e.g. back-packed);
+        # the old first-M slice would pick only padding → zero anchors
+        rs = np.random.RandomState(0)
+        emb = np.zeros((2, 32, 8), np.float32)
+        emb[:, 24:] = rs.randn(2, 8, 8)
+        mask = np.zeros((2, 32), bool)
+        mask[:, 24:] = True
+        loss = contrastive_loss(jnp.asarray(emb), jnp.asarray(mask),
+                                max_nodes_per_graph=8)
+        assert float(loss) > 0.0
+
+    def test_contrastive_subsample_varies_with_rng(self):
+        rs = np.random.RandomState(1)
+        emb = jnp.asarray(rs.randn(2, 64, 8), jnp.float32)
+        mask = jnp.ones((2, 64), bool)
+        l1 = contrastive_loss(emb, mask, max_nodes_per_graph=8,
+                              rng=jax.random.PRNGKey(0))
+        l2 = contrastive_loss(emb, mask, max_nodes_per_graph=8,
+                              rng=jax.random.PRNGKey(1))
+        assert float(l1) != pytest.approx(float(l2))  # different node subsets
+        # padding excluded even under random sampling: huge garbage rows in
+        # the padded tail must not change the loss
+        emb_dirty = emb.at[:, 48:].set(1e6)
+        mask_part = mask.at[:, 48:].set(False)
+        a = contrastive_loss(emb, mask_part, max_nodes_per_graph=8,
+                             rng=jax.random.PRNGKey(2))
+        b = contrastive_loss(emb_dirty, mask_part, max_nodes_per_graph=8,
+                             rng=jax.random.PRNGKey(2))
+        assert float(a) == pytest.approx(float(b), rel=1e-6)
+
     def test_graph_reconstruction_loss(self):
         g = tiny_batch(2)
         loss = graph_reconstruction_loss(
             g.x, g.nbr_idx, g.nbr_mask, g.node_mask, jax.random.PRNGKey(0))
         assert np.isfinite(float(loss))
+
+    def test_cox_loss_masks_filler_rows(self):
+        from dgdm_histopath_tpu.models.decoders import cox_partial_likelihood
+        rs = np.random.RandomState(0)
+        risk = jnp.asarray(rs.randn(8), jnp.float32)
+        time = jnp.asarray(rs.rand(8) * 10, jnp.float32)
+        event = jnp.ones((8,), jnp.float32)
+        # filler rows (garbage risk) must not perturb the valid-subset loss
+        full = cox_partial_likelihood(risk[:6], time[:6], event[:6])
+        valid = jnp.asarray([True] * 6 + [False] * 2)
+        dirty = risk.at[6:].set(100.0)
+        masked = cox_partial_likelihood(dirty, time, event, valid=valid)
+        assert float(masked) == pytest.approx(float(full), rel=1e-5)
+
+    def test_discrete_survival_loss_masks_filler(self):
+        from dgdm_histopath_tpu.models.decoders import discrete_survival_loss
+        rs = np.random.RandomState(1)
+        logits = jnp.asarray(rs.randn(6, 5), jnp.float32)
+        interval = jnp.asarray([0, 1, 2, 3, 4, 2], jnp.int32)
+        event = jnp.asarray([1, 0, 1, 1, 0, 1], jnp.float32)
+        full = discrete_survival_loss(logits[:4], interval[:4], event[:4])
+        valid = jnp.asarray([True] * 4 + [False] * 2)
+        masked = discrete_survival_loss(logits, interval, event, valid=valid)
+        assert float(masked) == pytest.approx(float(full), rel=1e-5)
 
 
 class TestSchedule:
@@ -157,6 +212,54 @@ class TestDataParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+class TestTrainLogger:
+    def test_csv_jsonl_rows(self, tmp_path):
+        import csv as _csv
+        import json as _json
+        from dgdm_histopath_tpu.training import TrainLogger
+        lg = TrainLogger(tmp_path, logger_type="csv")
+        lg.log_hparams({"lr": 1e-3, "model": "tiny"})
+        lg.log_metrics({"train_loss": 1.5, "phase": "pretrain"}, step=0)
+        lg.log_metrics({"train_loss": 1.0, "val_loss": 0.9}, step=1)
+        lg.close()
+        with open(tmp_path / "metrics.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 2
+        assert float(rows[0]["train_loss"]) == 1.5
+        assert rows[0]["val_loss"] == ""          # late-appearing column
+        assert float(rows[1]["val_loss"]) == 0.9
+        lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+        assert _json.loads(lines[1])["val_loss"] == 0.9
+        assert _json.loads((tmp_path / "hparams.json").read_text())["lr"] == 1e-3
+
+    def test_tensorboard_event_files(self, tmp_path):
+        pytest.importorskip("torch.utils.tensorboard")
+        from dgdm_histopath_tpu.training import TrainLogger
+        lg = TrainLogger(tmp_path, logger_type="tensorboard")
+        lg.log_metrics({"loss": 0.5}, step=0)
+        lg.close()
+        events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert events, "no TensorBoard event file written"
+
+    def test_fit_wires_logger(self, tmp_path):
+        from dgdm_histopath_tpu.training import TrainLogger
+        model = tiny_model()
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, pretrain_epochs=2,
+            max_epochs=2, steps_per_epoch=2, use_contrastive_loss=False),
+            use_mesh=False)
+        batch = tiny_batch(2)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        lg = TrainLogger(tmp_path, logger_type="csv")
+        trainer.fit([batch, batch], max_epochs=2, train_logger=lg)
+        lg.close()
+        import csv as _csv
+        with open(tmp_path / "metrics.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 2
+        assert "train_loss" in rows[0]
+
+
 class TestCheckpoint:
     def test_save_restore_topk(self):
         model = tiny_model()
@@ -178,3 +281,45 @@ class TestCheckpoint:
             rest = jax.tree_util.tree_leaves(restored.params)
             for a, b in zip(orig, rest):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_bundle_named_paths_roundtrip(self, tmp_path):
+        from dgdm_histopath_tpu.training import load_model_bundle, save_model_bundle
+        params = {"params": {"enc": {"kernel": np.ones((2, 3), np.float32)},
+                             "dec": {"bias": np.zeros((4,), np.float32)}}}
+        p = save_model_bundle(tmp_path / "m.npz", params, {"node_features": 8})
+        # verify leaves are name-keyed, not order-keyed
+        raw = np.load(p, allow_pickle=False)
+        assert "p:params/enc/kernel" in raw.files
+        restored = load_model_bundle(p, params)
+        np.testing.assert_allclose(restored["params"]["enc"]["kernel"],
+                                   params["params"]["enc"]["kernel"])
+
+    def test_bundle_renamed_module_fails_loudly(self, tmp_path):
+        from dgdm_histopath_tpu.training import load_model_bundle, save_model_bundle
+        from dgdm_histopath_tpu.utils.exceptions import CheckpointError
+        params = {"params": {"enc": {"kernel": np.ones((2, 3), np.float32)},
+                             "dec": {"kernel": np.zeros((2, 3), np.float32)}}}
+        p = save_model_bundle(tmp_path / "m.npz", params, {})
+        # same leaf count + shapes, different module names: must NOT load
+        renamed = {"params": {"enc2": {"kernel": np.ones((2, 3), np.float32)},
+                              "dec": {"kernel": np.zeros((2, 3), np.float32)}}}
+        with pytest.raises(CheckpointError):
+            load_model_bundle(p, renamed)
+        # same names, different shape: must NOT load
+        reshaped = {"params": {"enc": {"kernel": np.ones((3, 2), np.float32)},
+                               "dec": {"kernel": np.zeros((2, 3), np.float32)}}}
+        with pytest.raises(CheckpointError):
+            load_model_bundle(p, reshaped)
+
+    def test_bundle_legacy_order_format_still_loads(self, tmp_path):
+        import json as _json
+        from dgdm_histopath_tpu.training import load_model_bundle
+        params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+                  "b": np.ones((4,), np.float32)}
+        flat, _ = jax.tree_util.tree_flatten(params)
+        arrays = {f"param_{i}": leaf for i, leaf in enumerate(flat)}
+        meta = {"model_config": {}, "num_leaves": len(flat), "extra": {}}
+        np.savez_compressed(tmp_path / "legacy.npz",
+                            __meta__=_json.dumps(meta), **arrays)
+        restored = load_model_bundle(tmp_path / "legacy.npz", params)
+        np.testing.assert_allclose(restored["a"], params["a"])
