@@ -1,21 +1,58 @@
-"""Benchmark harness: DGDM-Base training-step throughput on the real chip.
+"""Benchmark harness: DGDM-Base training-step throughput + MFU on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline",
+   "params", "flops_per_step", "achieved_tflops", "mfu",
+   "step_time_ms", "device", "peak_bf16_tflops", "baseline_derivation"}
 
-Baseline derivation: the reference publishes "~24 h training on 4× A100"
-for the full dataset (reference README.md:276) but ships no machine-readable
-throughput harness (SURVEY §6). We therefore benchmark the hot loop —
-pretrain train-step throughput in graphs/sec on a DGDM-Base model over
-1024-node tissue graphs — and report vs_baseline against a fixed reference
-budget of 4 graphs/step ÷ measured-A100-step-estimate (0.25 s/step ⇒ 16
-graphs/s on 4 GPUs ⇒ 4 graphs/s/device). vs_baseline = our graphs/s/chip ÷ 4.
+Honest accounting (replaces round-1's invented 4-graphs/s constant — see
+BASELINE.md "Throughput baseline derivation"):
+  * ``flops_per_step`` comes from the compiled executable's own
+    ``cost_analysis()`` — the XLA cost model of the exact program we time.
+  * ``mfu`` = achieved FLOPs/s ÷ the chip's published peak bf16 FLOPs/s.
+  * ``vs_baseline`` divides our measured graphs/s by a *derived* A100
+    capability bound for the same per-graph FLOPs: the reference trains on
+    A100s (README.md:276) and publishes no throughput, so the fairest
+    denominator is what an A100 could do on this workload at a generous
+    40% MFU of its 312 TFLOPs bf16 peak:
+        baseline_graphs_per_s = 0.40 * 312e12 / flops_per_graph.
+    40% favors the reference: torch-geometric scatter workloads typically
+    realize far less. The derivation is printed in the JSON so the number
+    can never detach from its assumptions.
+
+Run with --large to additionally bench the DGDM-Large preset geometry
+(configs/dgdm_large.yaml: 1024-d features, hidden [768,512,256,128],
+16 heads, 20 diffusion steps, 2048-node bucket).
 """
 
 import json
+import sys
 import time
 
+A100_PEAK_BF16 = 312e12
+A100_ASSUMED_MFU = 0.40
 
-def main():
+# published peak bf16 FLOPs/s per chip generation (for MFU denominators)
+_TPU_PEAKS = (
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def peak_bf16_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _TPU_PEAKS:
+        if key in kind:
+            return peak
+    return None
+
+
+def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
+                 nodes, n_real, batch, n_iters=30):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -24,17 +61,13 @@ def main():
     from dgdm_histopath_tpu.ops.knn import knn_euclidean
     from dgdm_histopath_tpu.training import DGDMTrainer, TrainerConfig
 
-    BATCH = 4          # dgdm_base.yaml data.batch_size
-    NODES = 1024       # max_patches=1000 → 1024 bucket
-    FEAT = 768
-
-    def make_graph(seed, n_nodes=NODES, n_real=1000):
+    def make_graph(seed):
         rs = np.random.RandomState(seed)
-        x = np.zeros((n_nodes, FEAT), np.float32)
-        x[:n_real] = rs.randn(n_real, FEAT).astype(np.float32)
-        pos = np.zeros((n_nodes, 2), np.float32)
+        x = np.zeros((nodes, node_features), np.float32)
+        x[:n_real] = rs.randn(n_real, node_features).astype(np.float32)
+        pos = np.zeros((nodes, 2), np.float32)
         pos[:n_real] = rs.rand(n_real, 2)
-        mask = np.zeros((n_nodes,), bool)
+        mask = np.zeros((nodes,), bool)
         mask[:n_real] = True
         idx, dist, valid = knn_euclidean(jnp.asarray(pos), jnp.asarray(mask), 8)
         edge_attr = jnp.stack([dist, jnp.exp(-10.0 * dist), jnp.zeros_like(dist)], -1)
@@ -44,44 +77,93 @@ def main():
                            y=jnp.asarray(seed % 2, jnp.int32))
 
     model = DGDMModel(
-        node_features=FEAT, hidden_dims=(512, 256, 128), num_diffusion_steps=10,
-        attention_heads=8, graph_layers=4, num_classes=2,
+        node_features=node_features, hidden_dims=hidden_dims,
+        num_diffusion_steps=num_steps, attention_heads=heads,
+        graph_layers=layers, num_classes=2,
         use_spatial_attention=True, use_hierarchical=True, pooling="attention",
     )
-    batch = batch_graphs([make_graph(i) for i in range(BATCH)])
+    batch_g = batch_graphs([make_graph(i) for i in range(batch)])
     trainer = DGDMTrainer(
         model,
         TrainerConfig(learning_rate=1e-4, warmup_steps=10, pretrain_epochs=10,
                       steps_per_epoch=100),
         use_mesh=len(jax.devices()) > 1,
     )
-    trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer.init_state(jax.random.PRNGKey(0), batch_g)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(trainer.state.params))
 
-    # drive the compiled step directly: no per-step host syncs, batch stays
-    # device-resident, state donated in place
     from dgdm_histopath_tpu.parallel.mesh import shard_batch
     if trainer.mesh is not None:
-        batch = shard_batch(batch, trainer.mesh)
-    step_fn = trainer._get_step_fn("pretrain", batch)
+        batch_g = shard_batch(batch_g, trainer.mesh)
+
+    # AOT: lower+compile once, read the cost model from the SAME executable
+    # we time (no second tunnel compile, no invented FLOPs)
+    jitted = trainer._get_step_fn("pretrain", batch_g)
+    compiled = jitted.lower(trainer.state, batch_g).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+
     state = trainer.state
-    state, metrics = step_fn(state, batch)            # compile + warmup
+    state, metrics = compiled(state, batch_g)            # warmup (cached exec)
     jax.block_until_ready(metrics["loss"])
 
-    n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, metrics = step_fn(state, batch)
+        state, metrics = compiled(state, batch_g)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    graphs_per_sec = BATCH * n_iters / dt
-    baseline_graphs_per_sec_per_device = 4.0
-    print(json.dumps({
-        "metric": "pretrain_step_throughput_1024node_graphs",
+    step_time = dt / n_iters
+    graphs_per_sec = batch / step_time
+    dev = jax.devices()[0]
+    peak = peak_bf16_flops(dev)
+    achieved = flops / step_time if flops else None
+    mfu = achieved / peak if (achieved and peak) else None
+    vs_lower_bound = None
+    if flops:
+        # LOWER BOUND on relative efficiency: assumes the torch reference
+        # magically hits 40% MFU on A100 — scatter-based PyG with per-graph
+        # Python loops realizes a small fraction of that, so the true ratio
+        # is several times higher. See BASELINE.md for the assumption map.
+        baseline_graphs_per_s = A100_ASSUMED_MFU * A100_PEAK_BF16 / (flops / batch)
+        vs_lower_bound = graphs_per_sec / baseline_graphs_per_s
+    return {
+        "metric": f"pretrain_step_throughput_{name}",
         "value": round(graphs_per_sec, 3),
         "unit": "graphs/sec/chip",
-        "vs_baseline": round(graphs_per_sec / baseline_graphs_per_sec_per_device, 3),
-    }))
+        "vs_baseline": round(vs_lower_bound, 3) if vs_lower_bound else None,
+        "params": n_params,
+        "flops_per_step": flops,
+        "achieved_tflops": round(achieved / 1e12, 3) if achieved else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "step_time_ms": round(step_time * 1e3, 3),
+        "device": getattr(dev, "device_kind", str(dev)),
+        "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
+        "baseline_derivation": ("LOWER BOUND: assumes reference reaches 0.40 "
+                                "MFU x 312 TFLOPs bf16 A100 on measured "
+                                "flops-per-graph; realized PyG MFU is far "
+                                "lower (BASELINE.md assumption map)"),
+    }
+
+
+def main():
+    base = bench_config("1024node_base", node_features=768,
+                        hidden_dims=(512, 256, 128), num_steps=10, heads=8,
+                        layers=4, nodes=1024, n_real=1000, batch=4)
+    if "--large" in sys.argv:
+        large = bench_config("2048node_large", node_features=1024,
+                             hidden_dims=(768, 512, 256, 128), num_steps=20,
+                             heads=16, layers=4, nodes=2048, n_real=2000,
+                             batch=4, n_iters=10)
+        base["large"] = large
+    print(json.dumps(base))
 
 
 if __name__ == "__main__":

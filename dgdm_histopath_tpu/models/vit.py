@@ -34,6 +34,7 @@ class TransformerBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    layer_scale: bool = False   # DINOv2 LayerScale (timm init_values=1e-5)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -44,14 +45,24 @@ class TransformerBlock(nn.Module):
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attn")(h, h)
+        if self.layer_scale:
+            g1 = self.param("ls1_gamma",
+                            nn.initializers.constant(1e-5),
+                            (self.dim,), self.param_dtype)
+            h = h * g1.astype(h.dtype)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)   # exact erf GELU = torch/timm default
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="mlp2")(h)
+        if self.layer_scale:
+            g2 = self.param("ls2_gamma",
+                            nn.initializers.constant(1e-5),
+                            (self.dim,), self.param_dtype)
+            h = h * g2.astype(h.dtype)
         return x + h
 
 
@@ -63,6 +74,7 @@ class VisionTransformer(nn.Module):
     num_heads: int = 12
     patch_size: int = 16
     mlp_ratio: float = 4.0
+    layer_scale: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -85,6 +97,7 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(x.dtype)
         for i in range(self.depth):
             x = TransformerBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
+                                 layer_scale=self.layer_scale,
                                  dtype=self.dtype, param_dtype=self.param_dtype,
                                  name=f"block{i}")(x, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
@@ -115,6 +128,11 @@ class SimpleConvEncoder(nn.Module):
 _ARCHS = {
     # name -> (module kwargs, feature dim)
     "dinov2": (dict(embed_dim=768, depth=12, num_heads=12, patch_size=16), 768),
+    # exact timm `vit_base_patch14_dinov2.lvd142m` geometry (reference
+    # tissue_graph_builder.py:87-99): patch 14, LayerScale; pair with
+    # scripts/convert_timm_vit.py-converted weights
+    "dinov2_b14": (dict(embed_dim=768, depth=12, num_heads=12, patch_size=14,
+                        layer_scale=True), 768),
     "vit_small": (dict(embed_dim=384, depth=12, num_heads=6, patch_size=16), 384),
     "simple_cnn": (None, 512),
 }

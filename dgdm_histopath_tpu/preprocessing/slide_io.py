@@ -140,6 +140,80 @@ class PILTiffBackend(SlideBackend):
         self._cache.clear()
 
 
+class HDF5SlideBackend(SlideBackend):
+    """Chunked-HDF5 pyramidal slide (the framework's gigapixel-scale on-disk
+    format: random-access tiled reads, gzip chunks, no 4 GB TIFF limit).
+
+    Layout: datasets ``level_0..level_{L-1}`` of shape [H, W, 3] uint8 with
+    tile-sized chunks; ``attrs["dgdm_wsi"]="1"`` marks the format;
+    ``attrs["properties"]`` carries the OpenSlide-style property dict as JSON.
+    Written by ``write_hdf5_slide`` / ``synthetic.write_synthetic_slide_hdf5``.
+    """
+
+    MAGIC = "dgdm_wsi"
+
+    def __init__(self, path: str | Path):
+        import h5py
+        self._f = h5py.File(str(path), "r")
+        if self.MAGIC not in self._f.attrs:
+            self._f.close()
+            raise SlideProcessingError("not a dgdm_wsi HDF5 slide",
+                                       {"path": str(path)})
+        self._levels = []
+        i = 0
+        while f"level_{i}" in self._f:
+            self._levels.append(self._f[f"level_{i}"])
+            i += 1
+        if not self._levels:
+            self._f.close()
+            raise SlideProcessingError("HDF5 slide has no levels",
+                                       {"path": str(path)})
+        self.level_count = len(self._levels)
+        self.level_dimensions = [(d.shape[1], d.shape[0]) for d in self._levels]
+        w0 = self.level_dimensions[0][0]
+        self.level_downsamples = [w0 / w for (w, h) in self.level_dimensions]
+        import json as _json
+        self.properties = _json.loads(self._f.attrs.get("properties", "{}"))
+
+    def read_region(self, location, level, size):
+        ds = self.level_downsamples[level]
+        arr = self._levels[level]
+        x0 = int(location[0] / ds)
+        y0 = int(location[1] / ds)
+        w, h = size
+        out = np.full((h, w, 3), 255, np.uint8)
+        y1 = min(y0 + h, arr.shape[0])
+        x1 = min(x0 + w, arr.shape[1])
+        if y1 > y0 and x1 > x0 and y0 >= 0 and x0 >= 0:
+            out[: y1 - y0, : x1 - x0] = arr[y0:y1, x0:x1]   # chunked read
+        return out
+
+    def close(self):
+        self._f.close()
+
+
+def write_hdf5_slide(path: str | Path, levels: Sequence[np.ndarray],
+                     properties: Optional[Dict[str, str]] = None,
+                     tile: int = 1024, compression: str = "gzip",
+                     compression_opts: int = 2) -> Path:
+    """Write an in-memory pyramid as a dgdm_wsi HDF5 slide. For gigapixel
+    sizes use the streaming writer in ``preprocessing.synthetic``."""
+    import h5py
+    import json as _json
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs[HDF5SlideBackend.MAGIC] = "1"
+        f.attrs["properties"] = _json.dumps(dict(properties or {}))
+        for i, lvl in enumerate(levels):
+            lvl = np.asarray(lvl, np.uint8)
+            ch = (min(tile, lvl.shape[0]), min(tile, lvl.shape[1]), 3)
+            f.create_dataset(f"level_{i}", data=lvl, chunks=ch,
+                             compression=compression,
+                             compression_opts=compression_opts)
+    return path
+
+
 class ArrayBackend(SlideBackend):
     """In-memory numpy pyramid: levels[0] is full resolution [H, W, 3]."""
 
@@ -174,6 +248,8 @@ def open_slide(source) -> SlideBackend:
     if not path.exists():
         raise SlideProcessingError("slide file not found", {"path": str(path)})
     suffix = path.suffix.lower()
+    if suffix in (".h5", ".hdf5", ".wsi"):
+        return HDF5SlideBackend(path)
     if suffix in (".svs", ".ndpi", ".mrxs") and OPENSLIDE_AVAILABLE:
         return OpenSlideBackend(path)
     if suffix in (".tif", ".tiff"):

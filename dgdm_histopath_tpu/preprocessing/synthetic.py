@@ -95,6 +95,108 @@ def synthetic_slide(
     return backend, mask
 
 
+def _make_blobs(rs: np.random.RandomState, width: int, height: int,
+                num_blobs: int) -> List[Tuple[float, float, float, float, float]]:
+    blobs = []
+    for _ in range(num_blobs):
+        cx = rs.uniform(0.15, 0.85) * width
+        cy = rs.uniform(0.15, 0.85) * height
+        rx = rs.uniform(0.04, 0.18) * width
+        ry = rs.uniform(0.04, 0.18) * height
+        theta = rs.uniform(0, np.pi)
+        blobs.append((cx, cy, rx, ry, theta))
+    return blobs
+
+
+def _render_tile(tx: int, ty: int, w: int, h: int, blobs, coarse: np.ndarray,
+                 rs_tile: np.random.RandomState,
+                 nuclei_density: float) -> np.ndarray:
+    """Render one level-0 tile (global coords) from analytic blob params —
+    O(tile) memory regardless of slide size."""
+    yy, xx = np.mgrid[ty:ty + h, tx:tx + w].astype(np.float32)
+    tissue = np.zeros((h, w), np.float32)
+    for cx, cy, rx, ry, theta in blobs:
+        dx = (xx - cx) * np.cos(theta) + (yy - cy) * np.sin(theta)
+        dy = -(xx - cx) * np.sin(theta) + (yy - cy) * np.cos(theta)
+        d = (dx / rx) ** 2 + (dy / ry) ** 2
+        tissue = np.maximum(tissue, np.clip(1.5 - d, 0.0, 1.0))
+    texture = coarse[np.ix_(np.arange(ty, ty + h) // 32,
+                            np.arange(tx, tx + w) // 32)]
+    img = _BACKGROUND[None, None] * (1 - tissue[..., None]) + (
+        (_EOSIN[None, None] * (0.6 + 0.4 * texture[..., None])) * tissue[..., None])
+    n_nuclei = int(nuclei_density * tissue.sum())
+    if n_nuclei > 0:
+        ys, xs = np.nonzero(tissue > 0.5)
+        if len(ys):
+            pick = rs_tile.choice(len(ys), min(n_nuclei, len(ys)), replace=False)
+            r = 3
+            for y, x in zip(ys[pick], xs[pick]):
+                img[max(0, y - r):y + r + 1, max(0, x - r):x + r + 1] = _HEMATOXYLIN
+    img = img + rs_tile.randn(h, w, 3).astype(np.float32) * 3.0
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def write_synthetic_slide_hdf5(
+    path: str | Path,
+    width: int = 20480,
+    height: int = 20480,
+    num_levels: int = 5,
+    tile: int = 2048,
+    seed: int = 0,
+    objective_power: float = 20.0,
+    num_blobs: int = 24,
+    nuclei_density: float = 5e-4,
+    compression_opts: int = 2,
+) -> Path:
+    """Stream a gigapixel-scale synthetic H&E pyramid to a dgdm_wsi HDF5
+    slide (``slide_io.HDF5SlideBackend``) without ever materializing a full
+    level in memory — peak host memory is O(tile²) for level 0 and one row
+    band per downsampled level. A 40k×40k level-0 writes in tiles.
+    """
+    import json
+    import h5py
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    blobs = _make_blobs(rs, width, height, num_blobs)
+    coarse = rs.rand(height // 32 + 2, width // 32 + 2).astype(np.float32)
+    with h5py.File(path, "w") as f:
+        f.attrs["dgdm_wsi"] = "1"
+        f.attrs["properties"] = json.dumps({
+            "openslide.objective-power": str(objective_power),
+            "synthetic": "true", "seed": str(seed)})
+        d0 = f.create_dataset(
+            "level_0", shape=(height, width, 3), dtype="u1",
+            chunks=(min(tile, height), min(tile, width), 3),
+            compression="gzip", compression_opts=compression_opts)
+        for ty in range(0, height, tile):
+            for tx in range(0, width, tile):
+                h = min(tile, height - ty)
+                w = min(tile, width - tx)
+                rs_tile = np.random.RandomState(
+                    (seed * 1000003 + (ty // tile) * 8191 + tx // tile) % (2 ** 31))
+                d0[ty:ty + h, tx:tx + w] = _render_tile(
+                    tx, ty, w, h, blobs, coarse, rs_tile, nuclei_density)
+        # downsampled levels: stream 2×-box-average row bands
+        prev = d0
+        for lvl in range(1, num_levels):
+            ph, pw = prev.shape[:2]
+            nh, nw = ph // 2, pw // 2
+            if nh < 1 or nw < 1:
+                break
+            d = f.create_dataset(
+                f"level_{lvl}", shape=(nh, nw, 3), dtype="u1",
+                chunks=(min(tile, nh), min(tile, nw), 3),
+                compression="gzip", compression_opts=compression_opts)
+            for oy in range(0, nh, tile):
+                rows = min(tile, nh - oy)
+                src = prev[2 * oy:2 * (oy + rows), :2 * nw].astype(np.float32)
+                d[oy:oy + rows] = src.reshape(
+                    rows, 2, nw, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+            prev = d
+    return path
+
+
 def write_synthetic_tiff(
     path: str | Path,
     width: int = 2048,

@@ -227,3 +227,63 @@ class TestTissueGraphBuilder:
         builder = TissueGraphBuilder(feature_extractor="none")
         with pytest.raises(GraphConstructionError):
             builder.build_graph(empty)
+
+
+class TestHDF5Slide:
+    """dgdm_wsi chunked-HDF5 slide format + streaming gigapixel generator
+    (VERDICT r1 next-round item #2)."""
+
+    def test_streamed_write_matches_levels(self, tmp_path):
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            write_synthetic_slide_hdf5)
+        p = write_synthetic_slide_hdf5(tmp_path / "s.h5", width=2048,
+                                       height=1536, num_levels=3, tile=512,
+                                       seed=3)
+        slide = open_slide(p)
+        assert slide.level_count == 3
+        assert slide.level_dimensions[0] == (2048, 1536)
+        assert slide.level_dimensions[1] == (1024, 768)
+        assert slide.level_downsamples[2] == pytest.approx(4.0)
+        assert slide.properties["openslide.objective-power"] == "20.0"
+        # read_region level-0 coords map into downsampled levels
+        r0 = slide.read_region((512, 512), 0, (64, 64))
+        r1 = slide.read_region((512, 512), 1, (32, 32))
+        assert r0.shape == (64, 64, 3) and r1.shape == (32, 32, 3)
+        # level-1 is the box mean of level-0 (tolerance: uint8 rounding)
+        box = r0.astype(np.float32).reshape(32, 2, 32, 2, 3).mean(axis=(1, 3))
+        assert np.abs(box - r1.astype(np.float32)).mean() < 2.0
+        # out-of-bounds reads pad white like the other backends
+        edge = slide.read_region((2048 - 16, 0), 0, (64, 64))
+        assert (edge[:, 32:] == 255).all()
+        slide.close()
+
+    def test_tilewise_deterministic_tissue(self, tmp_path):
+        """Tile rendering is analytic: the same seed yields identical tissue
+        geometry regardless of tile size (no tile-boundary artifacts in the
+        blob field)."""
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            write_synthetic_slide_hdf5)
+        a = write_synthetic_slide_hdf5(tmp_path / "a.h5", 1024, 1024,
+                                       num_levels=2, tile=256, seed=7,
+                                       nuclei_density=0.0)
+        b = write_synthetic_slide_hdf5(tmp_path / "b.h5", 1024, 1024,
+                                       num_levels=2, tile=1024, seed=7,
+                                       nuclei_density=0.0)
+        sa, sb = open_slide(a), open_slide(b)
+        ra = sa.read_region((100, 100), 0, (256, 256)).astype(np.int16)
+        rb = sb.read_region((100, 100), 0, (256, 256)).astype(np.int16)
+        # identical up to the per-tile noise fields (std 3.0 each)
+        assert np.abs(ra - rb).mean() < 8.0
+        sa.close(); sb.close()
+
+    def test_full_pipeline_on_hdf5_slide(self, tmp_path):
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            write_synthetic_slide_hdf5)
+        p = write_synthetic_slide_hdf5(tmp_path / "s.h5", 2048, 2048,
+                                       num_levels=3, tile=1024, seed=11)
+        proc = SlideProcessor(patch_size=64, magnifications=[5.0],
+                              tissue_threshold=0.3, max_patches=40,
+                              stain_normalize=False)
+        data = proc.process_slide(p)
+        assert data.num_patches > 0
+        assert data.patches.shape[1:] == (64, 64, 3)

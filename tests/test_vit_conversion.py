@@ -1,0 +1,178 @@
+"""Golden tests for the timm-DINOv2 -> flax ViT weight converter.
+
+The strongest offline evidence the converter is correct: a synthetic
+torch-layout state dict is (a) run through an independent torch functional
+forward implementing timm's ViT semantics, and (b) converted and run through
+our flax ``VisionTransformer`` — outputs must match. (VERDICT r1 next-round
+item #3; reference backbone at tissue_graph_builder.py:87-99.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from scripts.convert_timm_vit import (  # noqa: E402
+    convert_state_dict, interpolate_pos_embed, load_torch_state_dict,
+)
+
+DIM, DEPTH, HEADS, PATCH, IMG = 32, 2, 4, 8, 32  # tiny but full-structure
+
+
+def make_torch_state_dict(seed=0, layer_scale=True, dim=DIM, depth=DEPTH,
+                          img=IMG, patch=PATCH):
+    g = torch.Generator().manual_seed(seed)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.05
+    n_tok = (img // patch) ** 2 + 1
+    sd = {
+        "cls_token": r(1, 1, dim),
+        "pos_embed": r(1, n_tok, dim),
+        "patch_embed.proj.weight": r(dim, 3, patch, patch),
+        "patch_embed.proj.bias": r(dim),
+        "norm.weight": 1.0 + r(dim), "norm.bias": r(dim),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = 1.0 + r(dim)
+        sd[p + "norm1.bias"] = r(dim)
+        sd[p + "attn.qkv.weight"] = r(3 * dim, dim)
+        sd[p + "attn.qkv.bias"] = r(3 * dim)
+        sd[p + "attn.proj.weight"] = r(dim, dim)
+        sd[p + "attn.proj.bias"] = r(dim)
+        sd[p + "norm2.weight"] = 1.0 + r(dim)
+        sd[p + "norm2.bias"] = r(dim)
+        sd[p + "mlp.fc1.weight"] = r(4 * dim, dim)
+        sd[p + "mlp.fc1.bias"] = r(4 * dim)
+        sd[p + "mlp.fc2.weight"] = r(dim, 4 * dim)
+        sd[p + "mlp.fc2.bias"] = r(dim)
+        if layer_scale:
+            sd[p + "ls1.gamma"] = 1e-1 + r(dim).abs()
+            sd[p + "ls2.gamma"] = 1e-1 + r(dim).abs()
+    return sd
+
+
+def torch_vit_forward(sd, img_np, depth=DEPTH, heads=HEADS, patch=PATCH):
+    """Independent timm-semantics ViT forward (pre-norm, qkv fused, exact
+    GELU, optional LayerScale) straight from the state dict."""
+    import torch.nn.functional as F
+    x = torch.from_numpy(img_np).permute(0, 3, 1, 2).float()
+    x = F.conv2d(x, sd["patch_embed.proj.weight"],
+                 sd["patch_embed.proj.bias"], stride=patch)
+    b, d, gh, gw = x.shape
+    x = x.flatten(2).transpose(1, 2)
+    x = torch.cat([sd["cls_token"].expand(b, -1, -1), x], dim=1)
+    x = x + sd["pos_embed"]
+    dh = d // heads
+    for i in range(depth):
+        p = f"blocks.{i}."
+        h = F.layer_norm(x, (d,), sd[p + "norm1.weight"], sd[p + "norm1.bias"], eps=1e-6)
+        qkv = F.linear(h, sd[p + "attn.qkv.weight"], sd[p + "attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        sh = lambda t: t.view(b, -1, heads, dh).transpose(1, 2)
+        q, k, v = sh(q), sh(k), sh(v)
+        attn = (q @ k.transpose(-2, -1)) * dh ** -0.5
+        h = (attn.softmax(-1) @ v).transpose(1, 2).reshape(b, -1, d)
+        h = F.linear(h, sd[p + "attn.proj.weight"], sd[p + "attn.proj.bias"])
+        if p + "ls1.gamma" in sd:
+            h = h * sd[p + "ls1.gamma"]
+        x = x + h
+        h = F.layer_norm(x, (d,), sd[p + "norm2.weight"], sd[p + "norm2.bias"], eps=1e-6)
+        h = F.linear(h, sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"])
+        h = F.gelu(h)  # exact erf
+        h = F.linear(h, sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"])
+        if p + "ls2.gamma" in sd:
+            h = h * sd[p + "ls2.gamma"]
+        x = x + h
+    x = F.layer_norm(x, (d,), sd["norm.weight"], sd["norm.bias"], eps=1e-6)  # timm eps
+    return x[:, 0].detach().numpy()
+
+
+class TestConverter:
+    @pytest.mark.parametrize("layer_scale", [True, False])
+    def test_converted_forward_matches_torch(self, layer_scale):
+        from dgdm_histopath_tpu.models.vit import VisionTransformer
+        sd = make_torch_state_dict(layer_scale=layer_scale)
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        params = convert_state_dict(sd_np, depth=DEPTH, num_heads=HEADS)
+
+        img = np.random.RandomState(0).rand(2, IMG, IMG, 3).astype(np.float32)
+        golden = torch_vit_forward(sd, img)
+
+        module = VisionTransformer(embed_dim=DIM, depth=DEPTH, num_heads=HEADS,
+                                   patch_size=PATCH, layer_scale=layer_scale,
+                                   dtype=jnp.float32)
+        with jax.default_matmul_precision("float32"):
+            ours = np.asarray(module.apply(params, jnp.asarray(img)))
+        np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=2e-4)
+
+    def test_layer_by_layer_mapping(self):
+        """Every converted leaf equals the (transposed/reshaped) source."""
+        sd = {k: v.numpy() for k, v in make_torch_state_dict().items()}
+        params = convert_state_dict(sd, depth=DEPTH, num_heads=HEADS)["params"]
+        np.testing.assert_array_equal(params["cls_token"], sd["cls_token"])
+        np.testing.assert_array_equal(
+            params["patch_embed"]["kernel"],
+            sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+        b0 = params["block0"]
+        wq = sd["blocks.0.attn.qkv.weight"][:DIM]
+        np.testing.assert_array_equal(
+            b0["attn"]["query"]["kernel"],
+            wq.T.reshape(DIM, HEADS, DIM // HEADS))
+        np.testing.assert_array_equal(
+            b0["attn"]["out"]["kernel"],
+            sd["blocks.0.attn.proj.weight"].T.reshape(HEADS, DIM // HEADS, DIM))
+        np.testing.assert_array_equal(b0["mlp1"]["kernel"],
+                                      sd["blocks.0.mlp.fc1.weight"].T)
+        np.testing.assert_array_equal(b0["norm1"]["scale"],
+                                      sd["blocks.0.norm1.weight"])
+        np.testing.assert_array_equal(b0["ls1_gamma"], sd["blocks.0.ls1.gamma"])
+
+    def test_pos_embed_interpolation(self):
+        pos = np.random.RandomState(0).rand(1, 17, 8).astype(np.float32)  # 4x4
+        out = interpolate_pos_embed(pos, 37)                               # 6x6
+        assert out.shape == (1, 37, 8)
+        np.testing.assert_array_equal(out[:, 0], pos[:, 0])  # cls preserved
+        # identity when grids match
+        np.testing.assert_array_equal(interpolate_pos_embed(pos, 17), pos)
+
+    def test_cli_roundtrip_and_extractor_load(self, tmp_path):
+        """Full path: torch .pth -> converter CLI -> PatchFeatureExtractor."""
+        from scripts.convert_timm_vit import main as convert_main
+        from dgdm_histopath_tpu.models.vit import _ARCHS, PatchFeatureExtractor
+
+        # register a tiny arch so the CLI template check runs fast
+        _ARCHS["_tiny_test"] = (dict(embed_dim=DIM, depth=DEPTH,
+                                     num_heads=HEADS, patch_size=PATCH,
+                                     layer_scale=True), DIM)
+        try:
+            src = tmp_path / "sd.pth"
+            torch.save(make_torch_state_dict(), src)
+            out = tmp_path / "converted.npz"
+            rc = convert_main([str(src), str(out), "--arch", "_tiny_test",
+                               "--image-size", str(IMG)])
+            assert rc == 0 and out.exists()
+
+            ext = PatchFeatureExtractor(arch="_tiny_test", batch_size=4,
+                                        image_size=IMG)
+            assert not ext.weights_loaded
+            ext.load_npz_weights(str(out))
+            assert ext.weights_loaded
+            feats = ext.extract(np.random.RandomState(1).randint(
+                0, 255, (3, IMG, IMG, 3), np.uint8))
+            assert feats.shape == (3, DIM)
+            assert np.isfinite(feats).all()
+        finally:
+            _ARCHS.pop("_tiny_test", None)
+
+    def test_torch_loader_rejects_pickle_code(self, tmp_path):
+        """weights_only load path: a checkpoint with arbitrary objects fails
+        instead of executing code."""
+        bad = tmp_path / "bad.pth"
+        # a function reference pickles by qualified name and would execute
+        # a lookup on unpickle; weights_only=True must refuse it
+        torch.save({"evil": print}, bad)
+        with pytest.raises(Exception):
+            load_torch_state_dict(bad)
