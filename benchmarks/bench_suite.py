@@ -174,8 +174,9 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
             gen_s += time.perf_counter() - t
         paths.append(p)
 
-    # fused path: stain-norm happens on device inside featurization
-    ext = PatchFeatureExtractor(arch=extractor, batch_size=256,
+    # fused path: stain-norm happens on device inside featurization;
+    # batch 128 → ≥8 pipeline stages per 1000-patch slide (overlap granularity)
+    ext = PatchFeatureExtractor(arch=extractor, batch_size=128,
                                 stain_normalize_on_device=True)
     model = DGDMModel(node_features=ext.feature_dim,
                       hidden_dims=(512, 256, 128), num_diffusion_steps=10,

@@ -154,7 +154,10 @@ class HDF5SlideBackend(SlideBackend):
 
     def __init__(self, path: str | Path):
         import h5py
-        self._f = h5py.File(str(path), "r")
+        # raster-order patch reads revisit chunks: size the chunk cache to
+        # hold a row of decompressed chunks (h5py default 1 MB thrashes)
+        self._f = h5py.File(str(path), "r", rdcc_nbytes=128 * 2 ** 20,
+                            rdcc_nslots=100003)
         if self.MAGIC not in self._f.attrs:
             self._f.close()
             raise SlideProcessingError("not a dgdm_wsi HDF5 slide",

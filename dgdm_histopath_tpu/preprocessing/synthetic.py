@@ -165,9 +165,11 @@ def write_synthetic_slide_hdf5(
         f.attrs["properties"] = json.dumps({
             "openslide.objective-power": str(objective_power),
             "synthetic": "true", "seed": str(seed)})
+        # chunks much smaller than the render tile: a 256² patch read then
+        # decompresses ≤4 small chunks instead of one 2048² (12.6 MB) chunk
+        chunk = (min(512, height), min(512, width), 3)
         d0 = f.create_dataset(
-            "level_0", shape=(height, width, 3), dtype="u1",
-            chunks=(min(tile, height), min(tile, width), 3),
+            "level_0", shape=(height, width, 3), dtype="u1", chunks=chunk,
             compression="gzip", compression_opts=compression_opts)
         for ty in range(0, height, tile):
             for tx in range(0, width, tile):
@@ -186,7 +188,7 @@ def write_synthetic_slide_hdf5(
                 break
             d = f.create_dataset(
                 f"level_{lvl}", shape=(nh, nw, 3), dtype="u1",
-                chunks=(min(tile, nh), min(tile, nw), 3),
+                chunks=(min(512, nh), min(512, nw), 3),
                 compression="gzip", compression_opts=compression_opts)
             for oy in range(0, nh, tile):
                 rows = min(tile, nh - oy)
