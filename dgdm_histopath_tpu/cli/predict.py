@@ -19,7 +19,7 @@ from ..utils.logging import get_logger, setup_logging
 
 logger = get_logger("cli")
 
-SLIDE_EXTS = (".svs", ".tiff", ".tif", ".ndpi", ".mrxs")
+SLIDE_EXTS = (".svs", ".tiff", ".tif", ".ndpi", ".mrxs", ".wsi")
 GRAPH_EXTS = (".npz", ".h5", ".hdf5")
 
 

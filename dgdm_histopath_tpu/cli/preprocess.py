@@ -18,7 +18,7 @@ from ..utils.logging import get_logger, setup_logging
 
 logger = get_logger("cli")
 
-SLIDE_EXTS = (".svs", ".tiff", ".tif", ".ndpi", ".mrxs")
+SLIDE_EXTS = (".svs", ".tiff", ".tif", ".ndpi", ".mrxs", ".wsi")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -170,7 +170,7 @@ def _build_dataset(cfg: DGDMConfig, args):
         feature_extractor=cfg.data.feature_extractor,
         node_buckets=cfg.data.node_buckets)
     paths = sorted(p for p in data_dir.rglob("*")
-                   if p.suffix.lower() in (".svs", ".tiff", ".tif", ".ndpi"))
+                   if p.suffix.lower() in (".svs", ".tiff", ".tif", ".ndpi", ".wsi"))
     return SlideDataset(paths, processor=proc, graph_builder=builder,
                         labels=labels, augmentations=cfg.data.augmentations)
 

@@ -114,6 +114,8 @@ class HistopathDataModule:
         seed: int = 42,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_shards: Optional[int] = None,
+        shard_index: Optional[int] = None,
     ):
         total = train_split + val_split + test_split
         if abs(total - 1.0) > 1e-6:
@@ -125,6 +127,18 @@ class HistopathDataModule:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # multi-host: each controller loads a disjoint slide shard (the JAX
+        # multi-controller pattern — per-host input, global mesh arrays);
+        # defaults follow jax.process_index/count so single-host is a no-op
+        if num_shards is None or shard_index is None:
+            import jax
+            num_shards = jax.process_count() if num_shards is None else num_shards
+            shard_index = jax.process_index() if shard_index is None else shard_index
+        if not 0 <= shard_index < num_shards:
+            raise DataError("shard_index out of range",
+                            {"shard_index": shard_index, "num_shards": num_shards})
+        self.num_shards = int(num_shards)
+        self.shard_index = int(shard_index)
         self._indices: Optional[Dict[str, np.ndarray]] = None
 
     def setup(self) -> None:
@@ -145,7 +159,13 @@ class HistopathDataModule:
     def _subset(self, split: str) -> "_Subset":
         if self._indices is None:
             self.setup()
-        return _Subset(self.dataset, self._indices[split])
+        idx = self._indices[split]
+        if self.num_shards > 1 and split == "train":
+            # strided host shard: same global split everywhere, disjoint
+            # training work per process (eval stays global so every host
+            # reports the same validation numbers)
+            idx = idx[self.shard_index::self.num_shards]
+        return _Subset(self.dataset, idx)
 
     def train_dataloader(self) -> BucketedLoader:
         return BucketedLoader(self._subset("train"), self.batch_size,

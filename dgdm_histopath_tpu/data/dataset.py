@@ -34,7 +34,7 @@ from .graph_io import GRAPH_SUFFIX, load_graph, save_graph
 
 logger = get_logger("data")
 
-SLIDE_EXTENSIONS = (".svs", ".tiff", ".tif", ".ndpi", ".mrxs")
+SLIDE_EXTENSIONS = (".svs", ".tiff", ".tif", ".ndpi", ".mrxs", ".wsi")
 GRAPH_EXTENSIONS = (".npz", ".h5", ".hdf5")
 PATCH_EXTENSIONS = (".png", ".jpg", ".jpeg")
 

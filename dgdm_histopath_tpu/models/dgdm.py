@@ -64,6 +64,7 @@ class DGDMModel(nn.Module):
     survival_intervals: int = 10
     edge_features: int = 3
     use_remat: bool = False   # rematerialize graph layers (memory for FLOPs)
+    gather_impl: str = "xla"   # xla | pallas fused neighbor aggregation
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
@@ -94,7 +95,8 @@ class DGDMModel(nn.Module):
             hidden_dim=hidden, num_layers=self.graph_layers,
             num_heads=self.attention_heads, edge_dim=self.edge_features,
             dropout=self.dropout, activation=self.activation,
-            remat=self.use_remat, dtype=dtype, param_dtype=pdtype)
+            remat=self.use_remat, gather_impl=self.gather_impl,
+            dtype=dtype, param_dtype=pdtype)
         if self.use_spatial_attention:
             self.spatial_attention = SpatialAttention(
                 embed_dim=hidden, num_heads=self.attention_heads,
@@ -102,7 +104,8 @@ class DGDMModel(nn.Module):
         if self.use_hierarchical:
             self.graph_unet = GraphUNet(
                 features=hidden, depth=2, num_heads=self.attention_heads,
-                dropout=self.dropout, dtype=dtype, param_dtype=pdtype)
+                dropout=self.dropout, gather_impl=self.gather_impl,
+                dtype=dtype, param_dtype=pdtype)
         self.diffusion = DiffusionLayer(
             features=hidden, num_steps=self.num_diffusion_steps,
             schedule=self.diffusion_schedule, dtype=dtype, param_dtype=pdtype)

@@ -84,6 +84,7 @@ class GraphEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     remat: bool = False   # jax.checkpoint each layer: FLOPs for HBM
+    gather_impl: str = "xla"   # xla | pallas fused aggregation
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -115,6 +116,7 @@ class GraphEncoder(nn.Module):
         for i in range(self.num_layers):
             result = layer_cls(
                 self.hidden_dim, self.num_heads, self.dropout, name=f"layer{i}",
+                gather_impl=self.gather_impl,
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )(h, nbr_idx, masked_nbr, e, deterministic, return_attention)
             if return_attention:

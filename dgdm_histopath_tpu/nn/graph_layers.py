@@ -27,8 +27,6 @@ from flax import linen as nn
 
 from ..ops.graph import (
     gather_neighbors,
-    gather_scalar,
-    masked_neighbor_sum,
     masked_softmax,
     symmetric_norm,
 )
@@ -46,6 +44,7 @@ class GraphConvolution(nn.Module):
 
     features: int
     use_edge_features: bool = True
+    gather_impl: str = "xla"   # xla | pallas (fused one-hot MXU aggregation)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -61,17 +60,28 @@ class GraphConvolution(nn.Module):
         w = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype, param_dtype=self.param_dtype)
         h = w(x)                                             # transform-then-gather: one matmul
-        h_nbr = gather_neighbors(h, nbr_idx)                 # [..., N, K, F']
-        if self.use_edge_features and edge_attr is not None:
-            e = nn.Dense(self.features, use_bias=False, name="edge_lin",
-                         dtype=self.dtype, param_dtype=self.param_dtype)(
-                edge_attr.astype(h.dtype))
-            h_nbr = h_nbr + e
         norm, self_norm = symmetric_norm(nbr_idx, nbr_mask)
         weight = norm.astype(h.dtype)
         if edge_weight is not None:
             weight = weight * edge_weight.astype(h.dtype)
-        agg = masked_neighbor_sum(h_nbr * weight[..., None], nbr_mask)
+        weight = weight * nbr_mask.astype(h.dtype)
+        # Σ_k weight·(h[idx] + We·e) = Σ_k weight·h[idx] + We·(Σ_k weight·e):
+        # reassociating by linearity reduces the per-layer [N, K, F] edge
+        # intermediate to a [N, E] reduction followed by one thin matmul
+        # (HBM traffic, not math, is the bottleneck at F=128/K=24)
+        if self.gather_impl == "pallas" and h.ndim == 3:
+            from ..ops.pallas.gather_agg import weighted_gather_sum
+            agg = weighted_gather_sum(h, nbr_idx,
+                                      weight.astype(jnp.float32)).astype(h.dtype)
+        else:
+            h_nbr = gather_neighbors(h, nbr_idx)             # [..., N, K, F']
+            agg = jnp.sum(h_nbr * weight[..., None], axis=-2)
+        if self.use_edge_features and edge_attr is not None:
+            e_sum = jnp.sum(edge_attr.astype(h.dtype) * weight[..., None],
+                            axis=-2)                          # [..., N, E]
+            agg = agg + nn.Dense(self.features, use_bias=False, name="edge_lin",
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype)(e_sum)
         out = agg + h * self_norm[..., None].astype(h.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
         return out + bias.astype(out.dtype)
@@ -90,6 +100,7 @@ class DynamicGraphLayer(nn.Module):
     features: int
     num_heads: int = 8
     dropout: float = 0.0
+    gather_impl: str = "xla"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -118,11 +129,26 @@ class DynamicGraphLayer(nn.Module):
                             param_dtype=self.param_dtype)(x_in)
         k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx)   # [..., N, K, H*D]
         k_nbr = k_nbr.reshape(*k_nbr.shape[:-1], heads, head_dim)
-        if edge_attr is not None:
-            e_k = nn.DenseGeneral((heads, head_dim), name="edge_k_proj", dtype=self.dtype,
-                                  param_dtype=self.param_dtype)(edge_attr.astype(x_in.dtype))
-            k_nbr = k_nbr + e_k
         scores = jnp.einsum("...nhd,...nkhd->...nkh", q, k_nbr).astype(jnp.float32)
+        if edge_attr is not None:
+            # q · (edge_attr @ We + be) reassociated by linearity so the
+            # [N, K, H, D] edge-key tensor is never materialized:
+            #   q·We·e = einsum(edge_attr[n,k,e], (q·We)[n,h,e])
+            #   q·be   = per-(n,h) scalar added to every k slot
+            edge_k = nn.DenseGeneral((heads, head_dim), name="edge_k_proj",
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype)
+            e_dim = edge_attr.shape[-1]
+            basis = jnp.eye(e_dim, dtype=x_in.dtype)
+            w_plus_b = edge_k(basis)                       # [E, H, D] = We + be
+            b_e = edge_k(jnp.zeros((1, e_dim), x_in.dtype))[0]   # [H, D] = be
+            w_e = w_plus_b - b_e
+            q_we = jnp.einsum("...nhd,ehd->...nhe", q, w_e)
+            scores = scores + jnp.einsum(
+                "...nke,...nhe->...nkh", edge_attr.astype(q.dtype), q_we
+            ).astype(jnp.float32)
+            q_be = jnp.einsum("...nhd,hd->...nh", q, b_e)
+            scores = scores + q_be[..., None, :].astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
         attn = masked_softmax(scores, nbr_mask[..., None], axis=-2)      # softmax over K
         if self.dropout > 0.0 and not deterministic:
@@ -131,12 +157,14 @@ class DynamicGraphLayer(nn.Module):
             attn = attn * keep / (1.0 - self.dropout)
         edge_weight = jnp.mean(attn, axis=-1)                            # [..., N, K] head-avg
 
-        h = GraphConvolution(f, name="conv1", dtype=self.dtype,
+        h = GraphConvolution(f, name="conv1", gather_impl=self.gather_impl,
+                             dtype=self.dtype,
                              param_dtype=self.param_dtype)(
             x_in, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight)
         h = nn.gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = GraphConvolution(f, name="conv2", dtype=self.dtype,
+        h = GraphConvolution(f, name="conv2", gather_impl=self.gather_impl,
+                             dtype=self.dtype,
                              param_dtype=self.param_dtype)(
             h, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight)
         out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
@@ -195,6 +223,7 @@ class GraphUNet(nn.Module):
     pool_ratio: float = 0.5
     num_heads: int = 8
     dropout: float = 0.0
+    gather_impl: str = "xla"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -218,7 +247,8 @@ class GraphUNet(nn.Module):
         h = x
         cur_mask = node_mask
         for d in range(self.depth):
-            h = DynamicGraphLayer(f, self.num_heads, self.dropout, name=f"down{d}",
+            h = DynamicGraphLayer(f, self.num_heads, self.dropout,
+                                  gather_impl=self.gather_impl, name=f"down{d}",
                                   dtype=self.dtype, param_dtype=self.param_dtype)(
                 h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
                 deterministic=deterministic)
@@ -228,7 +258,8 @@ class GraphUNet(nn.Module):
                                                   param_dtype=self.param_dtype)(h, cur_mask)
             masks.append(cur_mask)
 
-        h = DynamicGraphLayer(f, self.num_heads, self.dropout, name="bottleneck",
+        h = DynamicGraphLayer(f, self.num_heads, self.dropout,
+                              gather_impl=self.gather_impl, name="bottleneck",
                               dtype=self.dtype, param_dtype=self.param_dtype)(
             h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
             deterministic=deterministic)
@@ -236,7 +267,8 @@ class GraphUNet(nn.Module):
         for d in reversed(range(self.depth)):
             up_mask = masks[d]
             h = h + skips[d]                       # unpool = unmask + skip add
-            h = DynamicGraphLayer(f, self.num_heads, self.dropout, name=f"up{d}",
+            h = DynamicGraphLayer(f, self.num_heads, self.dropout,
+                                  gather_impl=self.gather_impl, name=f"up{d}",
                                   dtype=self.dtype, param_dtype=self.param_dtype)(
                 h, nbr_idx, nbr_mask & up_mask[..., None], edge_attr,
                 deterministic=deterministic)

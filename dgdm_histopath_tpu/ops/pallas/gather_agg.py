@@ -62,7 +62,11 @@ def _kernel(idx_ref, w_ref, h_ref, out_ref):
 
 
 def _fwd_pallas(h: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret=None) -> jnp.ndarray:
+    if interpret is None:
+        # Mosaic only exists on TPU; tests on the CPU mesh use the
+        # interpreter automatically
+        interpret = jax.default_backend() != "tpu"
     b, n, f = h.shape
     k = idx.shape[-1]
     if n % TILE_N or n % TILE_S:
@@ -84,13 +88,13 @@ def _fwd_pallas(h: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def weighted_gather_sum(h: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret=None) -> jnp.ndarray:
     """``out[b,n] = Σ_k w[b,n,k] · h[b, idx[b,n,k]]`` with a fused Pallas
     forward (one-hot MXU) and an XLA backward. [B, N, F] float32 out."""
     return _fwd_pallas(h, idx, w, interpret=interpret)
 
 
-def _vjp_fwd(h, idx, w, interpret=False):
+def _vjp_fwd(h, idx, w, interpret=None):
     return _fwd_pallas(h, idx, w, interpret=interpret), (h, idx, w)
 
 

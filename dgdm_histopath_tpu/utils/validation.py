@@ -132,7 +132,7 @@ class InputValidator:
 class FileValidator:
     """File-level checks (size, extension, magic bytes for slide formats)."""
 
-    SLIDE_SUFFIXES = (".svs", ".tif", ".tiff", ".ndpi", ".mrxs")
+    SLIDE_SUFFIXES = (".svs", ".tif", ".tiff", ".ndpi", ".mrxs", ".wsi")
     GRAPH_SUFFIXES = (".h5", ".hdf5", ".npz")
 
     @staticmethod

@@ -192,3 +192,38 @@ class TestDataModule:
         from dgdm_histopath_tpu.utils.exceptions import DataError
         with pytest.raises(DataError):
             HistopathDataModule([], train_split=0.5, val_split=0.5, test_split=0.5)
+
+
+class TestMultiHostSharding:
+    """Per-process slide sharding in the data module (JAX multi-controller
+    input pattern: disjoint train shards, global eval)."""
+
+    def _items(self, n=20):
+        from conftest import make_synthetic_graph
+        return [make_synthetic_graph(seed=i, n_nodes=32, n_real=24, feat_dim=8)
+                for i in range(n)]
+
+    def test_train_shards_are_disjoint_and_cover(self):
+        from dgdm_histopath_tpu.data.datamodule import HistopathDataModule
+        items = self._items()
+        dms = [HistopathDataModule(items, batch_size=2, num_shards=3,
+                                   shard_index=i, seed=7) for i in range(3)]
+        for dm in dms:
+            dm.setup()
+        train_sets = [set(int(v) for v in dm._subset("train").indices)
+                      for dm in dms]
+        assert not (train_sets[0] & train_sets[1])
+        assert not (train_sets[0] & train_sets[2])
+        union = train_sets[0] | train_sets[1] | train_sets[2]
+        assert union == set(int(v) for v in dms[0]._indices["train"])
+        # eval stays global — identical on every shard
+        v0 = list(dms[0]._subset("val").indices)
+        v1 = list(dms[1]._subset("val").indices)
+        assert v0 == v1
+
+    def test_default_single_process_is_noop(self):
+        from dgdm_histopath_tpu.data.datamodule import HistopathDataModule
+        items = self._items(8)
+        dm = HistopathDataModule(items, batch_size=2, seed=7)
+        dm.setup()
+        assert len(dm._subset("train")) == len(dm._indices["train"])

@@ -292,3 +292,60 @@ class TestRemat:
         grads = jax.grad(loss)(params)
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(grads))
+
+
+class TestReassociatedEdgeMath:
+    """The r2 HBM-traffic reassociations (edge terms summed in edge-attr
+    space before projection; edge-key injection folded into q-space) must be
+    numerically equivalent to the explicit [N,K,F]/[N,K,H,D] formulations."""
+
+    def test_graph_conv_matches_explicit_edge_path(self):
+        from dgdm_histopath_tpu.nn.graph_layers import GraphConvolution
+        from dgdm_histopath_tpu.ops.graph import gather_neighbors, symmetric_norm
+        rs = np.random.RandomState(0)
+        B, N, K, F, E = 2, 32, 6, 16, 3
+        x = jnp.asarray(rs.randn(B, N, F), jnp.float32)
+        idx = jnp.asarray(rs.randint(0, N, (B, N, K)), jnp.int32)
+        mask = jnp.asarray(rs.rand(B, N, K) > 0.3)
+        ea = jnp.asarray(rs.randn(B, N, K, E), jnp.float32)
+        ew = jnp.asarray(rs.rand(B, N, K), jnp.float32)
+        conv = GraphConvolution(F, dtype=jnp.float32)
+        params = conv.init(jax.random.PRNGKey(0), x, idx, mask, ea, ew)
+        out = conv.apply(params, x, idx, mask, ea, ew)
+
+        p = params["params"]
+        h = x @ p["lin"]["kernel"]
+        norm, self_norm = symmetric_norm(idx, mask)
+        weight = norm * ew * mask.astype(jnp.float32)
+        # explicit old path: project per-edge, add to gathered, weighted sum
+        h_nbr = gather_neighbors(h, idx) + ea @ p["edge_lin"]["kernel"]
+        agg = jnp.sum(h_nbr * weight[..., None], axis=-2)
+        ref = agg + h * self_norm[..., None] + p["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_dynamic_layer_attention_matches_explicit_edge_keys(self):
+        from dgdm_histopath_tpu.nn.graph_layers import DynamicGraphLayer
+        from dgdm_histopath_tpu.ops.graph import gather_neighbors, masked_softmax
+        rs = np.random.RandomState(1)
+        B, N, K, F, E, H = 2, 32, 6, 16, 3, 4
+        D = F // H
+        x = jnp.asarray(rs.randn(B, N, F), jnp.float32)
+        idx = jnp.asarray(rs.randint(0, N, (B, N, K)), jnp.int32)
+        mask = jnp.asarray(rs.rand(B, N, K) > 0.3)
+        ea = jnp.asarray(rs.randn(B, N, K, E), jnp.float32)
+        layer = DynamicGraphLayer(F, H, dtype=jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), x, idx, mask, ea)
+        _, attn = layer.apply(params, x, idx, mask, ea, return_attention=True)
+
+        p = params["params"]
+        q = jnp.einsum("bnf,fhd->bnhd", x, p["q_proj"]["kernel"]) + p["q_proj"]["bias"]
+        k = jnp.einsum("bnf,fhd->bnhd", x, p["k_proj"]["kernel"]) + p["k_proj"]["bias"]
+        k_nbr = gather_neighbors(k.reshape(B, N, F), idx).reshape(B, N, K, H, D)
+        # explicit old path: materialize per-edge keys, then q·k
+        e_k = jnp.einsum("bnke,ehd->bnkhd", ea, p["edge_k_proj"]["kernel"]) \
+            + p["edge_k_proj"]["bias"]
+        scores = jnp.einsum("bnhd,bnkhd->bnkh", q, k_nbr + e_k) / np.sqrt(D)
+        ref_attn = masked_softmax(scores, mask[..., None], axis=-2)
+        np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
+                                   atol=1e-5, rtol=1e-4)

@@ -166,3 +166,28 @@ class TestGatherAgg:
                                    atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gk[1]),
                                    atol=1e-3, rtol=1e-3)
+
+    def test_model_level_pallas_gather_matches_xla(self):
+        """DGDMModel(gather_impl='pallas') == gather_impl='xla' on the same
+        params (the A/B wiring used for on-chip benchmarking)."""
+        from dgdm_histopath_tpu.models import DGDMModel
+        from conftest import make_synthetic_graph
+        from dgdm_histopath_tpu.ops.graph import batch_graphs
+        batch = batch_graphs([make_synthetic_graph(seed=i, n_nodes=128,
+                                                   n_real=100, feat_dim=16)
+                              for i in range(2)])
+        kw = dict(node_features=16, hidden_dims=(32, 16), num_diffusion_steps=3,
+                  attention_heads=4, graph_layers=2, num_classes=2,
+                  use_hierarchical=False, compute_dtype="float32", dropout=0.0)
+        m_xla = DGDMModel(**kw, gather_impl="xla")
+        m_pal = DGDMModel(**kw, gather_impl="pallas")
+        rngs = {"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1),
+                "masking": jax.random.PRNGKey(2)}
+        params = m_xla.init(rngs, batch, mode="pretrain", deterministic=True)
+        o1 = m_xla.apply(params, batch, mode="inference", deterministic=True)
+        o2 = m_pal.apply(params, batch, mode="inference", deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(o1["classification_logits"], np.float32),
+            np.asarray(o2["classification_logits"], np.float32),
+            atol=1e-3, rtol=1e-3)
