@@ -63,6 +63,43 @@ def bench_featurize(batch=64, size=224):
             "unit": "patches/sec (ViT-Base bf16)"}
 
 
+def bench_featsplit(batch=128, patch=256, size=224):
+    """Decompose the fused featurize call: stain-norm vs resize+normalize vs
+    ViT forward — identifies which stage bounds slides/hour."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+    from dgdm_histopath_tpu.preprocessing.stain_normalization import (
+        DEFAULT_MAX_CONCENTRATIONS, DEFAULT_STAIN_MATRIX,
+        macenko_normalize_batch,
+    )
+    rs = np.random.RandomState(0)
+    u8 = jnp.asarray(rs.randint(30, 250, (batch, patch, patch, 3)), jnp.uint8)
+    f32 = u8.astype(jnp.float32)
+    ref_s = jnp.asarray(DEFAULT_STAIN_MATRIX)
+    ref_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
+
+    res = {}
+    for name, stats_px in (("stain_full", 0), ("stain_sub4k", 4096)):
+        f = jax.jit(lambda x, sp=stats_px: macenko_normalize_batch(
+            x, ref_s, ref_c, stats_pixels=sp))
+        res[name + "_ms"] = round(_time(lambda: f(f32)) * 1e3, 2)
+
+    ext = PatchFeatureExtractor(arch="dinov2", batch_size=batch,
+                                image_size=size)
+    x224 = jnp.asarray(rs.rand(batch, size, size, 3), jnp.float32)
+    res["vit_fwd_ms"] = round(_time(lambda: ext._apply(ext.params, x224)) * 1e3, 2)
+
+    ext_f = PatchFeatureExtractor(arch="dinov2", batch_size=batch,
+                                  image_size=size,
+                                  stain_normalize_on_device=True)
+    res["fused_total_ms"] = round(_time(lambda: ext_f._fused(ext_f.params, u8)) * 1e3, 2)
+    res["patches_per_sec_fused"] = round(batch / (res["fused_total_ms"] / 1e3), 1)
+    return {"stage": "featurize_decomposition", **res,
+            "unit": f"ms per {batch}-patch batch ({patch}px in, {size}px ViT)"}
+
+
 def bench_knn(n=1024, feat=768):
     import jax.numpy as jnp
     import numpy as np
@@ -218,7 +255,8 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
             "fixture_gen_s": round(gen_s, 1)}
 
 
-STAGES = {"stain": bench_stain, "feat": bench_featurize, "knn": bench_knn,
+STAGES = {"stain": bench_stain, "feat": bench_featurize,
+          "featsplit": bench_featsplit, "knn": bench_knn,
           "train": bench_train, "infer": bench_infer, "e2e": bench_e2e}
 
 

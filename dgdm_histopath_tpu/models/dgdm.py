@@ -64,7 +64,7 @@ class DGDMModel(nn.Module):
     survival_intervals: int = 10
     edge_features: int = 3
     use_remat: bool = False   # rematerialize graph layers (memory for FLOPs)
-    gather_impl: str = "xla"   # xla | pallas fused neighbor aggregation
+    gather_impl: str = "auto"  # auto | onehot | xla(take) | pallas
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 

@@ -84,7 +84,7 @@ class GraphEncoder(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     remat: bool = False   # jax.checkpoint each layer: FLOPs for HBM
-    gather_impl: str = "xla"   # xla | pallas fused aggregation
+    gather_impl: str = "auto"  # auto | onehot | xla(take) | pallas
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 

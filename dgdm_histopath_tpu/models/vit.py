@@ -155,7 +155,8 @@ class PatchFeatureExtractor:
                  seed: int = 0, image_size: int = 224,
                  params: Optional[Any] = None,
                  stain_normalize_on_device: bool = False,
-                 stain_alpha: float = 1.0):
+                 stain_alpha: float = 1.0,
+                 stain_stats_pixels: int = 4096):
         if arch not in _ARCHS:
             # reference treats unknown extractors ("ctp"/"hipt") as fallbacks
             # (tissue_graph_builder.py:129-137)
@@ -166,6 +167,7 @@ class PatchFeatureExtractor:
         self.image_size = image_size
         self.stain_normalize_on_device = stain_normalize_on_device
         self.stain_alpha = stain_alpha
+        self.stain_stats_pixels = stain_stats_pixels
         if arch == "simple_cnn":
             self.module = SimpleConvEncoder()
         else:
@@ -190,7 +192,8 @@ class PatchFeatureExtractor:
             ref_s = jnp.asarray(DEFAULT_STAIN_MATRIX)
             ref_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
             x = jax.vmap(lambda img: _macenko_normalize_single(
-                img, ref_s, ref_c, self.stain_alpha))(x)
+                img, ref_s, ref_c, self.stain_alpha,
+                self.stain_stats_pixels))(x)
         if x.shape[1] != self.image_size:
             x = jax.image.resize(
                 x, (x.shape[0], self.image_size, self.image_size, 3),

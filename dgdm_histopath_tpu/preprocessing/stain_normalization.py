@@ -123,16 +123,33 @@ def _macenko_normalize_single(
     ref_stains: jnp.ndarray,           # [3, 2]
     ref_max_c: jnp.ndarray,            # [2]
     alpha: float = 1.0,
+    stats_pixels: int = 4096,
 ) -> jnp.ndarray:
+    """One-patch Macenko. ``stats_pixels`` bounds the pixel count used for
+    the *estimators* (stain vectors, angle percentiles, 99th-pct max
+    concentration): percentiles are sorts, and at 256² a patch costs four
+    65k-element sorts — a strided ≤4k sample estimates the same robust
+    statistics at 1/16 the sort cost while the normalization transform
+    itself still touches every pixel. ``stats_pixels=0`` keeps the exact
+    full-pixel estimators."""
     h, w, _ = rgb.shape
     flat = rgb.reshape(-1, 3)
-    stains = estimate_stain_matrix(flat, alpha=alpha)
+    p = flat.shape[0]
+    if stats_pixels and p > stats_pixels:
+        stride = p // stats_pixels
+        sample = flat[:: stride][:stats_pixels]
+    else:
+        sample = flat
+    stains = estimate_stain_matrix(sample, alpha=alpha)
     conc = stain_concentrations(flat, stains)           # [2, P]
     od = rgb_to_od(flat)
     tissue = jnp.all(od > _TRANSPARENT_OD, axis=-1)
+    conc_s = stain_concentrations(sample, stains)
+    od_s = rgb_to_od(sample)
+    tissue_s = jnp.all(od_s > _TRANSPARENT_OD, axis=-1)
     max_c = jnp.stack([
-        _percentile_masked(conc[0], tissue, 99.0),
-        _percentile_masked(conc[1], tissue, 99.0),
+        _percentile_masked(conc_s[0], tissue_s, 99.0),
+        _percentile_masked(conc_s[1], tissue_s, 99.0),
     ])
     scale = ref_max_c / jnp.maximum(max_c, _EPS)
     conc_norm = conc * scale[:, None]
@@ -142,15 +159,17 @@ def _macenko_normalize_single(
     return jnp.where(tissue.reshape(h, w, 1), out, rgb.astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("alpha",))
+@functools.partial(jax.jit, static_argnames=("alpha", "stats_pixels"))
 def macenko_normalize_batch(
     rgb_batch: jnp.ndarray,            # [B, H, W, 3]
     ref_stains: jnp.ndarray,
     ref_max_c: jnp.ndarray,
     alpha: float = 1.0,
+    stats_pixels: int = 4096,
 ) -> jnp.ndarray:
     """Normalize a batch of patches in one device call (the TPU win)."""
-    fn = lambda img: _macenko_normalize_single(img, ref_stains, ref_max_c, alpha)
+    fn = lambda img: _macenko_normalize_single(img, ref_stains, ref_max_c,
+                                               alpha, stats_pixels)
     return jax.vmap(fn)(rgb_batch)
 
 
@@ -209,11 +228,13 @@ class StainNormalizer:
     """Batched stain normalizer with the reference's class API
     (``StainNormalizer(method=...)``, ``normalize()``, ``fit_to_template()``)."""
 
-    def __init__(self, method: str = "macenko", alpha: float = 1.0):
+    def __init__(self, method: str = "macenko", alpha: float = 1.0,
+                 stats_pixels: int = 4096):
         if method not in ("macenko", "reinhard"):
             raise ValueError(f"unknown stain normalization method {method!r}")
         self.method = method
         self.alpha = float(alpha)
+        self.stats_pixels = int(stats_pixels)
         self.ref_stains = jnp.asarray(DEFAULT_STAIN_MATRIX)
         self.ref_max_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
         self.lab_mean = jnp.asarray(DEFAULT_LAB_MEAN)
@@ -248,7 +269,8 @@ class StainNormalizer:
             arr = arr[None]
         if self.method == "macenko":
             out = macenko_normalize_batch(arr, self.ref_stains, self.ref_max_c,
-                                          alpha=self.alpha)
+                                          alpha=self.alpha,
+                                          stats_pixels=self.stats_pixels)
         else:
             out = reinhard_normalize_batch(arr, self.lab_mean, self.lab_std)
         out_np = np.asarray(jnp.round(out).astype(jnp.uint8))

@@ -349,3 +349,27 @@ class TestReassociatedEdgeMath:
         ref_attn = masked_softmax(scores, mask[..., None], axis=-2)
         np.testing.assert_allclose(np.asarray(attn), np.asarray(ref_attn),
                                    atol=1e-5, rtol=1e-4)
+
+    def test_onehot_gather_impl_matches_take(self):
+        """gather_impl='onehot' (the TPU MXU formulation) == 'xla' take path."""
+        from dgdm_histopath_tpu.nn.graph_layers import DynamicGraphLayer
+        from dgdm_histopath_tpu.ops.graph import gather_neighbors
+        rs = np.random.RandomState(2)
+        B, N, K, F, E = 2, 64, 6, 16, 3
+        x = jnp.asarray(rs.randn(B, N, F), jnp.float32)
+        idx = jnp.asarray(rs.randint(0, N, (B, N, K)), jnp.int32)
+        mask = jnp.asarray(rs.rand(B, N, K) > 0.3)
+        ea = jnp.asarray(rs.randn(B, N, K, E), jnp.float32)
+        # raw gather op parity
+        np.testing.assert_allclose(
+            np.asarray(gather_neighbors(x, idx, impl="onehot")),
+            np.asarray(gather_neighbors(x, idx, impl="take")),
+            atol=1e-5, rtol=1e-5)
+        # full layer parity
+        la = DynamicGraphLayer(F, 4, gather_impl="onehot", dtype=jnp.float32)
+        lb = DynamicGraphLayer(F, 4, gather_impl="xla", dtype=jnp.float32)
+        params = la.init(jax.random.PRNGKey(0), x, idx, mask, ea)
+        oa = la.apply(params, x, idx, mask, ea)
+        ob = lb.apply(params, x, idx, mask, ea)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=2e-4, rtol=2e-4)
