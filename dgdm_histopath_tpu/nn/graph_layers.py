@@ -71,7 +71,10 @@ class GraphConvolution(nn.Module):
         # (HBM traffic, not math, is the bottleneck at F=128/K=24)
         impl = self.gather_impl
         if impl == "auto":
-            impl = "onehot" if jax.default_backend() == "tpu" else "xla"
+            # whole-program measurement (v5e, full pretrain step, ADR-0004):
+            # take 2.07 ms vs onehot 2.43 ms — XLA fuses the in-context
+            # gathers; the isolated-op 45x onehot win does not transfer.
+            impl = "xla"
         if impl == "pallas" and h.ndim == 3:
             from ..ops.pallas.gather_agg import weighted_gather_sum
             agg = weighted_gather_sum(h, nbr_idx,
@@ -140,11 +143,8 @@ class DynamicGraphLayer(nn.Module):
         k = nn.DenseGeneral((heads, head_dim), name="k_proj", dtype=self.dtype,
                             param_dtype=self.param_dtype)(x_in)
         k_impl = self.gather_impl
-        if k_impl == "auto":
-            import jax as _jax
-            k_impl = "onehot" if _jax.default_backend() == "tpu" else "take"
         if k_impl not in ("onehot", "take"):
-            k_impl = "take"   # pallas kernel covers aggregation, not this
+            k_impl = "take"   # measured whole-program default (ADR-0004)
         k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx,
                                  impl=k_impl)                     # [..., N, K, H*D]
         k_nbr = k_nbr.reshape(*k_nbr.shape[:-1], heads, head_dim)
