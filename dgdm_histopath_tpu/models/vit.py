@@ -224,17 +224,34 @@ class PatchFeatureExtractor:
             get_logger("models.vit").warning(msg)
             self._warned_random_init = True
         patches = np.ascontiguousarray(patches, np.uint8)
-        bs = self.batch_size
-        out = []
-        for i in range(0, n, bs):
-            chunk = patches[i:i + bs]
-            real = len(chunk)
-            pad = bs - real  # pad to bs → single compiled shape
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, *chunk.shape[1:]), np.uint8)])
-            feats = np.asarray(self._fused(self.params, jnp.asarray(chunk)))
-            out.append(feats[:real])
+        # dispatch every batch asynchronously, then sync ONCE: a blocking
+        # np.asarray per batch pays a full host↔device round trip each time
+        # (~0.8 s over a tunneled chip — measured 20x the actual compute)
+        pending = [self.dispatch(patches[i:i + self.batch_size])
+                   for i in range(0, n, self.batch_size)]
+        return self.materialize(pending)
+
+    def dispatch(self, chunk: np.ndarray):
+        """Async featurize one ≤batch_size chunk; returns (device_feats,
+        n_real) without forcing a host sync."""
+        chunk = np.ascontiguousarray(chunk, np.uint8)
+        real = len(chunk)
+        pad = self.batch_size - real  # pad to batch_size → one compiled shape
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, *chunk.shape[1:]), np.uint8)])
+        return self._fused(self.params, jnp.asarray(chunk)), real
+
+    @staticmethod
+    def materialize(pending) -> np.ndarray:
+        """Concatenate dispatched results on device and fetch with a single
+        device→host transfer."""
+        if not pending:
+            return np.zeros((0, 0), np.float32)
+        full = jnp.concatenate([f for f, _ in pending], axis=0)
+        host = np.asarray(full)                 # the one blocking transfer
+        bs = pending[0][0].shape[0]
+        out = [host[i * bs: i * bs + real] for i, (_, real) in enumerate(pending)]
         return np.concatenate(out, axis=0)
 
     def load_npz_weights(self, path: str) -> None:

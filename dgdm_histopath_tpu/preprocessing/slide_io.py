@@ -65,6 +65,11 @@ class SlideBackend:
             img = img[::step, ::step]
         return img
 
+    def clone(self) -> Optional["SlideBackend"]:
+        """An independent handle for thread-parallel decode, or None when the
+        backend can't provide one (stateful readers like PIL page seeks)."""
+        return None
+
     def close(self) -> None:
         pass
 
@@ -73,6 +78,7 @@ class OpenSlideBackend(SlideBackend):
     def __init__(self, path: str | Path):
         if not OPENSLIDE_AVAILABLE:
             raise SlideProcessingError("openslide is not installed", {"path": str(path)})
+        self._path = str(path)
         self._slide = openslide.OpenSlide(str(path))
         self.level_count = self._slide.level_count
         self.level_dimensions = [tuple(d) for d in self._slide.level_dimensions]
@@ -82,6 +88,9 @@ class OpenSlideBackend(SlideBackend):
     def read_region(self, location, level, size):
         img = self._slide.read_region(location, level, size).convert("RGB")
         return np.asarray(img, np.uint8)
+
+    def clone(self):
+        return OpenSlideBackend(self._path)
 
     def close(self):
         self._slide.close()
@@ -154,6 +163,7 @@ class HDF5SlideBackend(SlideBackend):
 
     def __init__(self, path: str | Path):
         import h5py
+        self._path = str(path)
         # raster-order patch reads revisit chunks: size the chunk cache to
         # hold a row of decompressed chunks (h5py default 1 MB thrashes)
         self._f = h5py.File(str(path), "r", rdcc_nbytes=128 * 2 ** 20,
@@ -190,6 +200,11 @@ class HDF5SlideBackend(SlideBackend):
         if y1 > y0 and x1 > x0 and y0 >= 0 and x0 >= 0:
             out[: y1 - y0, : x1 - x0] = arr[y0:y1, x0:x1]   # chunked read
         return out
+
+    def clone(self):
+        # h5py file objects are not thread-safe; an independent handle lets
+        # decode workers decompress chunks in parallel (gzip releases the GIL)
+        return HDF5SlideBackend(self._path)
 
     def close(self):
         self._f.close()
@@ -241,6 +256,9 @@ class ArrayBackend(SlideBackend):
         if y1 > y0 and x1 > x0 and y0 >= 0 and x0 >= 0:
             out[: y1 - y0, : x1 - x0] = arr[y0:y1, x0:x1]
         return out
+
+    def clone(self):
+        return self    # pure numpy slicing — already thread-safe
 
 
 def open_slide(source) -> SlideBackend:
