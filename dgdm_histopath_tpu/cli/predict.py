@@ -97,6 +97,10 @@ def main(argv=None) -> int:
             if viz is not None and "attention_weights" in result:
                 viz.prediction_summary(result, class_names=class_names,
                                        save_path=out_dir / f"{result['slide_id']}_summary.png")
+                # interactive variant (reference's plotly panel)
+                viz.prediction_summary_interactive(
+                    result, class_names=class_names,
+                    save_path=out_dir / f"{result['slide_id']}_summary.html")
             logger.info("%s -> class=%s conf=%.3f", result["slide_id"],
                         result.get("predicted_class"), result.get("confidence", 0))
         except Exception as exc:  # noqa: BLE001

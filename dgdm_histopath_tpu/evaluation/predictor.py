@@ -187,65 +187,30 @@ class DGDMPredictor:
             bs = ext.batch_size
             decode_s = [0.0]
 
-            # thread-parallel decode when the backend can hand out
-            # independent handles (h5py/openslide are single-threaded per
-            # handle but gzip/JPEG decompression releases the GIL)
-            handles = [slide]
-            if self.decode_workers > 1:
-                for _ in range(self.decode_workers - 1):
-                    c = slide.clone()
-                    if c is None:
-                        break
-                    handles.append(c)
-            pool = None
-            if len(handles) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                pool = ThreadPoolExecutor(max_workers=len(handles))
-
-            def decode_batch(batch_infos):
-                if pool is None:
-                    return np.stack([self.processor.extract_patch(slide, info)
-                                     for info in batch_infos])
-                n_w = len(handles)
-                shards = [batch_infos[w::n_w] for w in range(n_w)]
-
-                def work(w):
-                    return [self.processor.extract_patch(handles[w], info)
-                            for info in shards[w]]
-                results = list(pool.map(work, range(n_w)))
-                out = [None] * len(batch_infos)
-                for w in range(n_w):
-                    for j, img in enumerate(results[w]):
-                        out[w + j * n_w] = img
-                return np.stack(out)
-
             def batches():
+                # batched banded decode: each compressed chunk of the pyramid
+                # is decompressed once per batch (backend read_regions), not
+                # once per overlapping patch
                 for i in range(0, len(infos), bs):
                     t = _time.perf_counter()
-                    chunk = decode_batch(infos[i:i + bs])
+                    chunk = self.processor.extract_patch_batch(
+                        slide, infos[i:i + bs])
                     decode_s[0] += _time.perf_counter() - t
                     yield chunk
 
             pending = []
             featurize_s = 0.0
-            try:
-                for chunk in PrefetchIterator(batches(), depth=2):
-                    t = _time.perf_counter()
-                    # async dispatch only — no per-batch host sync; the
-                    # prefetch thread keeps decoding while the device queue
-                    # drains (one blocking transfer at materialize below)
-                    pending.append(ext.dispatch(chunk))
-                    featurize_s += _time.perf_counter() - t
+            for chunk in PrefetchIterator(batches(), depth=2):
                 t = _time.perf_counter()
-                features = (ext.materialize(pending) if pending
-                            else np.zeros((0, ext.feature_dim), np.float32))
+                # async dispatch only — no per-batch host sync; the
+                # prefetch thread keeps decoding while the device queue
+                # drains (one blocking transfer at materialize below)
+                pending.append(ext.dispatch(chunk))
                 featurize_s += _time.perf_counter() - t
-            finally:
-                if pool is not None:
-                    pool.shutdown(wait=False)
-                for extra in handles[1:]:
-                    if extra is not slide:
-                        extra.close()
+            t = _time.perf_counter()
+            features = (ext.materialize(pending) if pending
+                        else np.zeros((0, ext.feature_dim), np.float32))
+            featurize_s += _time.perf_counter() - t
 
             metadata["num_patches"] = len(infos)
             metadata["tissue_fraction"] = float(mask.mean()) if mask.size else 0.0

@@ -213,12 +213,37 @@ class SlideProcessor:
             img = _resize_uint8(img, info.size)
         return img
 
+    def extract_patch_batch(self, slide: SlideBackend,
+                            infos: Sequence[PatchInfo]) -> np.ndarray:
+        """Decode a batch of patches via the backend's batched ``read_regions``
+        (banded reads on chunked backends — each compressed chunk is
+        decompressed once per batch instead of once per patch)."""
+        if not infos:
+            return np.zeros((0, self.patch_size, self.patch_size, 3), np.uint8)
+        native = self.get_objective_power(slide)
+        groups: Dict[Tuple[int, int], list] = {}
+        for i, info in enumerate(infos):
+            level_ds = slide.level_downsamples[info.level]
+            want_ds = native / info.magnification
+            read_size = int(round(info.size * want_ds / level_ds))
+            groups.setdefault((info.level, read_size), []).append(i)
+        out = np.zeros((len(infos), self.patch_size, self.patch_size, 3),
+                       np.uint8)
+        for (level, read_size), idxs in groups.items():
+            locs = [(infos[i].x, infos[i].y) for i in idxs]
+            imgs = slide.read_regions(locs, level, (read_size, read_size))
+            for img, i in zip(imgs, idxs):
+                if read_size != infos[i].size:
+                    img = _resize_uint8(img, infos[i].size)
+                out[i] = img
+        return out
+
     def extract_patches(self, slide: SlideBackend,
                         infos: Sequence[PatchInfo]) -> np.ndarray:
         """Decode all patches (host) then stain-normalize in device batches."""
         if not infos:
             return np.zeros((0, self.patch_size, self.patch_size, 3), np.uint8)
-        patches = np.stack([self.extract_patch(slide, i) for i in infos])
+        patches = self.extract_patch_batch(slide, infos)
         if self.stain_normalizer is not None:
             bs = self.stain_batch_size
             chunks = [self.stain_normalizer.normalize(patches[i:i + bs])

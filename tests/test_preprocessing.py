@@ -287,3 +287,40 @@ class TestHDF5Slide:
         data = proc.process_slide(p)
         assert data.num_patches > 0
         assert data.patches.shape[1:] == (64, 64, 3)
+
+    def test_read_regions_banded_matches_per_patch(self, tmp_path):
+        """HDF5 banded batch reads == per-patch read_region (incl. edges)."""
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            write_synthetic_slide_hdf5)
+        p = write_synthetic_slide_hdf5(tmp_path / "s.h5", 1536, 1024,
+                                       num_levels=2, tile=512, seed=13)
+        slide = open_slide(p)
+        locs = [(0, 0), (256, 0), (1280, 0), (512, 512), (768, 512),
+                (1400, 900),          # clipped bottom-right corner
+                (100, 100)]           # unaligned
+        batch = slide.read_regions(locs, 0, (256, 256))
+        for i, loc in enumerate(locs):
+            single = slide.read_region(loc, 0, (256, 256))
+            np.testing.assert_array_equal(batch[i], single)
+        # level-1 too
+        batch1 = slide.read_regions(locs[:3], 1, (64, 64))
+        for i, loc in enumerate(locs[:3]):
+            np.testing.assert_array_equal(batch1[i],
+                                          slide.read_region(loc, 1, (64, 64)))
+        slide.close()
+
+    def test_extract_patch_batch_matches_loop(self, tmp_path):
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            write_synthetic_slide_hdf5)
+        p = write_synthetic_slide_hdf5(tmp_path / "s.h5", 1024, 1024,
+                                       num_levels=3, tile=512, seed=17)
+        proc = SlideProcessor(patch_size=64, magnifications=[5.0],
+                              tissue_threshold=0.2, max_patches=20,
+                              stain_normalize=False)
+        slide = open_slide(p)
+        mask, ds = proc.detect_tissue_regions(slide)
+        infos = proc.generate_patch_coordinates(slide, mask, ds)[:12]
+        batch = proc.extract_patch_batch(slide, infos)
+        loop = np.stack([proc.extract_patch(slide, i) for i in infos])
+        np.testing.assert_array_equal(batch, loop)
+        slide.close()
