@@ -248,11 +248,25 @@ class DGDMPredictor:
         batched = graph if graph.x.ndim == 3 else jax.tree_util.tree_map(
             lambda a: a[None] if hasattr(a, "ndim") else a, graph)
         out = self._forward(self.params, batched)
+        # ONE device→host fetch for every array we need: sequential
+        # np.asarray calls each pay a full sync round trip (tunneled chips:
+        # ~0.3-0.8 s each — this was the entire "forward" cost in e2e)
+        wanted = {"graph_embedding": out["graph_embedding"],
+                  "node_mask": batched.node_mask, "pos": batched.pos}
+        for key in ("classification_logits", "attention_weights"):
+            if key in out:
+                wanted[key] = out[key]
+        if "regression" in out:
+            wanted["regression_mean"] = out["regression"]["mean"]
+        if "survival" in out:
+            for k, v in out["survival"].items():
+                wanted[f"survival_{k}"] = v
+        host = jax.device_get(wanted)
         result: Dict[str, Any] = {
-            "graph_embedding": np.asarray(out["graph_embedding"], np.float32)[0],
+            "graph_embedding": np.asarray(host["graph_embedding"], np.float32)[0],
         }
-        if "classification_logits" in out:
-            logits = np.asarray(out["classification_logits"], np.float32)[0]
+        if "classification_logits" in host:
+            logits = np.asarray(host["classification_logits"], np.float32)[0]
             probs = np.exp(logits - logits.max())
             probs = probs / probs.sum()
             result.update({
@@ -262,14 +276,18 @@ class DGDMPredictor:
                 "confidence": float(probs.max()),
                 "uncertainty": self.compute_uncertainty(probs),
             })
-        if "regression" in out:
-            result["regression"] = np.asarray(out["regression"]["mean"], np.float32)[0]
-        if "attention_weights" in out:
-            attn = np.asarray(out["attention_weights"], np.float32)[0]
+        if "regression_mean" in host:
+            result["regression"] = np.asarray(host["regression_mean"], np.float32)[0]
+        for k in host:
+            if k.startswith("survival_"):
+                result.setdefault("survival", {})[k[len("survival_"):]] = \
+                    np.asarray(host[k], np.float32)[0]
+        if "attention_weights" in host:
+            attn = np.asarray(host["attention_weights"], np.float32)[0]
             result["attention_weights"] = attn
             result["biomarkers"] = self.rank_biomarkers(
-                attn, np.asarray(batched.node_mask)[0],
-                np.asarray(batched.pos, np.float32)[0])
+                attn, np.asarray(host["node_mask"])[0],
+                np.asarray(host["pos"], np.float32)[0])
         return result
 
     def predict_batch(self, graphs: Sequence[PaddedGraph]) -> List[Dict[str, Any]]:

@@ -236,23 +236,34 @@ class HDF5SlideBackend(SlideBackend):
                 i += 1
             if y0 >= arr.shape[0] or y0 + h <= 0:
                 continue
-            xs = [int(locations[j][0] / ds) for j in row]
-            x_lo = max(min(xs), 0)
-            x_hi = min(max(xs) + w, arr.shape[1])
             y_lo = max(y0, 0)
             y_hi = min(y0 + h, arr.shape[0])
-            if x_hi <= x_lo or y_hi <= y_lo:
+            if y_hi <= y_lo:
                 continue
-            strip = arr[y_lo:y_hi, x_lo:x_hi]          # one chunked read
-            for j, x0 in zip(row, xs):
-                sx0 = max(x0, 0) - x_lo
-                sx1 = min(x0 + w, x_hi) - x_lo
-                if sx1 <= sx0:
+            # split the row run at gaps > 2 patch widths: sparse sampling
+            # would otherwise turn one strip into a near-full-width read
+            # that decompresses far more chunks than the patches touch
+            pairs = sorted(zip((int(locations[j][0] / ds) for j in row), row))
+            segments: list = [[pairs[0]]]
+            for x0, j in pairs[1:]:
+                if x0 - segments[-1][-1][0] > 2 * w:
+                    segments.append([])
+                segments[-1].append((x0, j))
+            for seg in segments:
+                x_lo = max(seg[0][0], 0)
+                x_hi = min(seg[-1][0] + w, arr.shape[1])
+                if x_hi <= x_lo:
                     continue
-                oy = y_lo - y0
-                ox = max(x0, 0) - x0
-                out[j, oy:oy + (y_hi - y_lo), ox:ox + (sx1 - sx0)] = \
-                    strip[:, sx0:sx1]
+                strip = arr[y_lo:y_hi, x_lo:x_hi]      # one chunked read
+                for x0, j in seg:
+                    sx0 = max(x0, 0) - x_lo
+                    sx1 = min(x0 + w, x_hi) - x_lo
+                    if sx1 <= sx0:
+                        continue
+                    oy = y_lo - y0
+                    ox = max(x0, 0) - x0
+                    out[j, oy:oy + (y_hi - y_lo), ox:ox + (sx1 - sx0)] = \
+                        strip[:, sx0:sx1]
         return out
 
     def close(self):
