@@ -90,6 +90,7 @@ class DGDMPredictor:
         decode_workers: int = 4,
     ):
         self.decode_workers = int(decode_workers)
+        self._pool = None
         if model_path is not None:
             self.model, self.params, self.checkpoint_meta = load_model_checkpoint(model_path)
         elif model is not None and params is not None:
@@ -117,6 +118,21 @@ class DGDMPredictor:
                                           deterministic=True,
                                           return_attention=True),
             static_argnames=())
+
+    def _decode_pool(self):
+        """Persistent process pool for parallel patch decode (lazy)."""
+        if self.decode_workers <= 1:
+            return None
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            # spawn, not fork: this process holds a live TPU client/tunnel
+            # whose sockets must not be duplicated into workers; spawned
+            # workers never touch jax (decode is h5py/numpy/PIL only)
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.decode_workers,
+                mp_context=mp.get_context("spawn"))
+        return self._pool
 
     # ------------------------------------------------------------------
     def predict_slide(self, slide_path, slide_id: Optional[str] = None,
@@ -187,14 +203,23 @@ class DGDMPredictor:
             bs = ext.batch_size
             decode_s = [0.0]
 
+            # process-parallel decode for path-backed slides: gzip/JPEG
+            # inflate is CPU-bound and h5py is lock-serialized, so workers
+            # each open their own handle (SlideProcessor docstring)
+            pool = self._decode_pool() if getattr(slide, "_path", None) else None
+
             def batches():
                 # batched banded decode: each compressed chunk of the pyramid
                 # is decompressed once per batch (backend read_regions), not
                 # once per overlapping patch
                 for i in range(0, len(infos), bs):
                     t = _time.perf_counter()
-                    chunk = self.processor.extract_patch_batch(
-                        slide, infos[i:i + bs])
+                    sub = infos[i:i + bs]
+                    if pool is not None:
+                        chunk = self.processor.extract_patch_batch_parallel(
+                            slide, sub, pool, self.decode_workers)
+                    else:
+                        chunk = self.processor.extract_patch_batch(slide, sub)
                     decode_s[0] += _time.perf_counter() - t
                     yield chunk
 

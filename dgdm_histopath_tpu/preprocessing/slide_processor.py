@@ -238,6 +238,35 @@ class SlideProcessor:
                 out[i] = img
         return out
 
+    def extract_patch_batch_parallel(self, slide: SlideBackend,
+                                     infos: Sequence[PatchInfo],
+                                     pool, workers: int) -> np.ndarray:
+        """Process-parallel banded decode for path-backed slides.
+
+        h5py serializes every HDF5 call behind a module-level lock, so
+        thread parallelism buys nothing; gzip inflate is CPU-bound
+        (~60 MB/s/core) and dominates gigapixel e2e latency. Workers open
+        their own backend handle (by path) and decode contiguous runs of the
+        batch — contiguity preserves the banded-read locality.
+        """
+        path = getattr(slide, "_path", None)
+        if path is None or workers <= 1 or len(infos) < workers * 2:
+            return self.extract_patch_batch(slide, infos)
+        runs = np.array_split(np.arange(len(infos)), workers)
+        futures = []
+        for run in runs:
+            if len(run) == 0:
+                continue
+            sub = [infos[i] for i in run]
+            futures.append((run, pool.submit(
+                _decode_patches_worker, path, self.patch_size,
+                [(p.x, p.y, p.level, p.magnification, p.size) for p in sub])))
+        out = np.zeros((len(infos), self.patch_size, self.patch_size, 3),
+                       np.uint8)
+        for run, fut in futures:
+            out[run] = fut.result()
+        return out
+
     def extract_patches(self, slide: SlideBackend,
                         infos: Sequence[PatchInfo]) -> np.ndarray:
         """Decode all patches (host) then stain-normalize in device batches."""
@@ -326,3 +355,38 @@ def _resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
     from PIL import Image
     return np.asarray(Image.fromarray(img).resize((size, size), Image.BILINEAR),
                       np.uint8)
+
+
+# per-worker backend cache for process-parallel decode
+_WORKER_SLIDES: Dict[str, SlideBackend] = {}
+
+
+def _decode_patches_worker(path: str, patch_size: int, coords) -> np.ndarray:
+    """Decode a run of patches in a worker process (own backend handle)."""
+    from .slide_io import open_slide
+    slide = _WORKER_SLIDES.get(path)
+    if slide is None:
+        slide = open_slide(path)
+        _WORKER_SLIDES[path] = slide
+        if len(_WORKER_SLIDES) > 4:          # bound open handles
+            old = next(iter(_WORKER_SLIDES))
+            if old != path:
+                _WORKER_SLIDES.pop(old).close()
+    infos = [PatchInfo(x, y, level, mag, size, 0.0)
+             for (x, y, level, mag, size) in coords]
+    native = SlideProcessor.get_objective_power(slide)
+    groups: Dict[Tuple[int, int], list] = {}
+    for i, info in enumerate(infos):
+        level_ds = slide.level_downsamples[info.level]
+        want_ds = native / info.magnification
+        read_size = int(round(info.size * want_ds / level_ds))
+        groups.setdefault((info.level, read_size), []).append(i)
+    out = np.zeros((len(infos), patch_size, patch_size, 3), np.uint8)
+    for (level, read_size), idxs in groups.items():
+        locs = [(infos[i].x, infos[i].y) for i in idxs]
+        imgs = slide.read_regions(locs, level, (read_size, read_size))
+        for img, i in zip(imgs, idxs):
+            if read_size != infos[i].size:
+                img = _resize_uint8(img, infos[i].size)
+            out[i] = img
+    return out
