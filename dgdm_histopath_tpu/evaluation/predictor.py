@@ -126,12 +126,15 @@ class DGDMPredictor:
         if self._pool is None:
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
+            from ..preprocessing.slide_processor import _decode_worker_init
             # spawn, not fork: this process holds a live TPU client/tunnel
-            # whose sockets must not be duplicated into workers; spawned
-            # workers never touch jax (decode is h5py/numpy/PIL only)
+            # whose sockets must not be duplicated into workers; the
+            # initializer pins workers to the CPU backend before package
+            # import so they never contend for the single-tenant chip
             self._pool = ProcessPoolExecutor(
                 max_workers=self.decode_workers,
-                mp_context=mp.get_context("spawn"))
+                mp_context=mp.get_context("spawn"),
+                initializer=_decode_worker_init)
         return self._pool
 
     # ------------------------------------------------------------------

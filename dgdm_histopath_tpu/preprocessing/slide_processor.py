@@ -252,20 +252,26 @@ class SlideProcessor:
         path = getattr(slide, "_path", None)
         if path is None or workers <= 1 or len(infos) < workers * 2:
             return self.extract_patch_batch(slide, infos)
-        runs = np.array_split(np.arange(len(infos)), workers)
-        futures = []
-        for run in runs:
-            if len(run) == 0:
-                continue
-            sub = [infos[i] for i in run]
-            futures.append((run, pool.submit(
-                _decode_patches_worker, path, self.patch_size,
-                [(p.x, p.y, p.level, p.magnification, p.size) for p in sub])))
-        out = np.zeros((len(infos), self.patch_size, self.patch_size, 3),
-                       np.uint8)
-        for run, fut in futures:
-            out[run] = fut.result()
-        return out
+        try:
+            runs = np.array_split(np.arange(len(infos)), workers)
+            futures = []
+            for run in runs:
+                if len(run) == 0:
+                    continue
+                sub = [infos[i] for i in run]
+                futures.append((run, pool.submit(
+                    _decode_patches_worker, path, self.patch_size,
+                    [(p.x, p.y, p.level, p.magnification, p.size)
+                     for p in sub])))
+            out = np.zeros((len(infos), self.patch_size, self.patch_size, 3),
+                           np.uint8)
+            for run, fut in futures:
+                out[run] = fut.result()
+            return out
+        except Exception as exc:  # noqa: BLE001 - broken pool, pickling, OOM
+            logger.warning("parallel decode failed (%s); falling back to "
+                           "in-process decode", exc)
+            return self.extract_patch_batch(slide, infos)
 
     def extract_patches(self, slide: SlideBackend,
                         infos: Sequence[PatchInfo]) -> np.ndarray:
@@ -359,6 +365,20 @@ def _resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
 
 # per-worker backend cache for process-parallel decode
 _WORKER_SLIDES: Dict[str, SlideBackend] = {}
+
+
+def _decode_worker_init():
+    """Spawn-worker initializer: pin jax to CPU BEFORE any package import.
+
+    The package allocates module-level jnp constants on import; without this
+    a decode worker would initialize the (single-tenant) TPU backend and be
+    killed by the chip owner — the parent process already holds it.
+    """
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def _decode_patches_worker(path: str, patch_size: int, coords) -> np.ndarray:
