@@ -125,16 +125,44 @@ class DGDMPredictor:
             return None
         if self._pool is None:
             import multiprocessing as mp
+            import os
+            import time as _t
             from concurrent.futures import ProcessPoolExecutor
             from ..preprocessing.slide_processor import _decode_worker_init
             # spawn, not fork: this process holds a live TPU client/tunnel
-            # whose sockets must not be duplicated into workers; the
-            # initializer pins workers to the CPU backend before package
-            # import so they never contend for the single-tenant chip
-            self._pool = ProcessPoolExecutor(
-                max_workers=self.decode_workers,
-                mp_context=mp.get_context("spawn"),
-                initializer=_decode_worker_init)
+            # whose sockets must not be duplicated into workers. Workers must
+            # also never load a TPU-plugin sitecustomize (PYTHONPATH-injected
+            # on tunneled hosts) — it runs before any initializer and would
+            # contend for the single-tenant chip. Scrub the env while all
+            # workers spawn (held busy by barrier tasks), then restore.
+            scrubbed = {}
+            for var in ("PYTHONPATH", "PYTHONSTARTUP"):
+                if var in os.environ:
+                    scrubbed[var] = os.environ.pop(var)
+            # the child inherits JAX_PLATFORMS at exec and the worker
+            # initializer runs only AFTER its own unpickling has imported
+            # the package (module-level jnp constants) — the env var is the
+            # only thing early enough
+            if "JAX_PLATFORMS" in os.environ:
+                scrubbed["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"]
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            try:
+                pool = ProcessPoolExecutor(
+                    max_workers=self.decode_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_decode_worker_init)
+                barrier = [pool.submit(_t.sleep, 0.3)
+                           for _ in range(self.decode_workers)]
+                for f in barrier:
+                    f.result()
+                self._pool = pool
+            except Exception:
+                self._pool = None
+                raise
+            finally:
+                if "JAX_PLATFORMS" not in scrubbed:
+                    os.environ.pop("JAX_PLATFORMS", None)
+                os.environ.update(scrubbed)
         return self._pool
 
     # ------------------------------------------------------------------
