@@ -120,8 +120,14 @@ class DGDMPredictor:
             static_argnames=())
 
     def _decode_pool(self):
-        """Persistent process pool for parallel patch decode (lazy)."""
-        if self.decode_workers <= 1:
+        """Persistent process pool for parallel patch decode (lazy).
+
+        Returns None (and remembers the failure) when workers cannot spawn —
+        e.g. a ``<stdin>``/REPL ``__main__`` that multiprocessing-spawn
+        cannot re-import — so inference falls back to in-process decode
+        instead of failing the slide.
+        """
+        if self.decode_workers <= 1 or self._pool is False:
             return None
         if self._pool is None:
             import multiprocessing as mp
@@ -146,6 +152,7 @@ class DGDMPredictor:
             if "JAX_PLATFORMS" in os.environ:
                 scrubbed["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"]
             os.environ["JAX_PLATFORMS"] = "cpu"
+            pool = None
             try:
                 pool = ProcessPoolExecutor(
                     max_workers=self.decode_workers,
@@ -156,9 +163,16 @@ class DGDMPredictor:
                 for f in barrier:
                     f.result()
                 self._pool = pool
-            except Exception:
-                self._pool = None
-                raise
+            except Exception as exc:  # noqa: BLE001
+                logger.warning("decode worker pool unavailable (%s); using "
+                               "in-process decode", exc)
+                if pool is not None:
+                    try:
+                        pool.shutdown(wait=False)
+                    except Exception:  # noqa: BLE001
+                        pass
+                self._pool = False   # remember: don't retry per slide
+                return None
             finally:
                 if "JAX_PLATFORMS" not in scrubbed:
                     os.environ.pop("JAX_PLATFORMS", None)
