@@ -8,8 +8,15 @@ endpoint over the packaged predictor.
 Endpoints:
   GET  /healthz | /readyz    — deep health report (k8s probes)
   GET  /info                 — model metadata
+  GET  /metrics              — Prometheus text exposition (the reference's
+                               deployment/monitoring.yaml assumes a scrape
+                               target but ships no exporter; SURVEY §5.5)
   POST /predict              — JSON {"graph": {x, pos, nbr_idx, nbr_mask,
                                edge_attr, node_mask}} or {"graph_path": ...}
+  POST /predict_batch        — JSON {"graphs": [graph, ...]} or
+                               {"graph_paths": [...]}; same-bucket graphs are
+                               stacked into single device calls
+                               (DGDMPredictor.predict_batch)
 
 Single-threaded stdlib HTTP by design: JAX devices are single-tenant, so a
 serializing server in front of the chip is the correct concurrency model;
@@ -79,6 +86,45 @@ class InferenceServer:
         self.stats["total_latency_s"] += out["latency_s"]
         return out
 
+    def handle_predict_batch(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        t0 = time.perf_counter()
+        if "graph_paths" in payload:
+            from ..data.graph_io import load_graph
+            graphs = [load_graph(p) for p in payload["graph_paths"]]
+        elif "graphs" in payload:
+            graphs = [graph_from_json(g) for g in payload["graphs"]]
+        else:
+            raise ValueError("payload must contain 'graphs' or 'graph_paths'")
+        results = self.predictor.predict_batch(graphs)
+        out_results = [
+            {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+             for k, v in r.items()} for r in results]
+        latency = round(time.perf_counter() - t0, 4)
+        self.stats["requests"] += 1
+        self.stats["total_latency_s"] += latency
+        return {"results": out_results, "count": len(out_results),
+                "latency_s": latency}
+
+    def prometheus_metrics(self) -> str:
+        """Prometheus text exposition of the serving counters."""
+        s = self.stats
+        mean_lat = s["total_latency_s"] / max(s["requests"], 1)
+        lines = [
+            "# HELP dgdm_requests_total Total predict requests served.",
+            "# TYPE dgdm_requests_total counter",
+            f"dgdm_requests_total {s['requests']}",
+            "# HELP dgdm_errors_total Total failed predict requests.",
+            "# TYPE dgdm_errors_total counter",
+            f"dgdm_errors_total {s['errors']}",
+            "# HELP dgdm_request_latency_seconds_sum Cumulative predict latency.",
+            "# TYPE dgdm_request_latency_seconds_sum counter",
+            f"dgdm_request_latency_seconds_sum {s['total_latency_s']:.6f}",
+            "# HELP dgdm_request_latency_seconds_mean Mean predict latency.",
+            "# TYPE dgdm_request_latency_seconds_mean gauge",
+            f"dgdm_request_latency_seconds_mean {mean_lat:.6f}",
+        ]
+        return "\n".join(lines) + "\n"
+
     # ------------------------------------------------------------------
     def _make_handler(self):
         server = self
@@ -100,11 +146,22 @@ class InferenceServer:
                     info = server.predictor.get_model_info()
                     info["serving_stats"] = dict(server.stats)
                     self._send(200, info)
+                elif self.path == "/metrics":
+                    data = server.prometheus_metrics().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/predict":
+                routes = {"/predict": server.handle_predict,
+                          "/predict_batch": server.handle_predict_batch}
+                handler = routes.get(self.path)
+                if handler is None:
                     self._send(404, {"error": "not found"})
                     return
                 if not server.rate_limiter.allow(self.client_address[0]):
@@ -113,7 +170,7 @@ class InferenceServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    self._send(200, server.handle_predict(payload))
+                    self._send(200, handler(payload))
                 except Exception as exc:  # noqa: BLE001
                     server.stats["errors"] += 1
                     logger.error("predict failed: %s", exc)

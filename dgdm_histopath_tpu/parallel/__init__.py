@@ -4,8 +4,14 @@ from .mesh import (
     DATA_AXIS, MODEL_AXIS, make_mesh, data_sharding, replicated,
     shard_batch, replicate_tree, pad_batch_to_devices,
 )
+from .tp import (
+    tp_size, tp_param_specs, shard_tree_like, place_state_tp,
+    describe_sharding,
+)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
     "shard_batch", "replicate_tree", "pad_batch_to_devices",
+    "tp_size", "tp_param_specs", "shard_tree_like", "place_state_tp",
+    "describe_sharding",
 ]

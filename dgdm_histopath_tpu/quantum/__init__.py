@@ -17,9 +17,23 @@ from .federated_learning import (
     DPConfig,
 )
 from .safety import QuantumSafetyManager, SafeScheduler
+from .hardware import (
+    QuantumProvider, QuantumConfig, Circuit, QuantumBackendInterface,
+    LocalStatevectorBackend, IBMQuantumBackend, GoogleQuantumBackend,
+    QuantumHardwareManager, HybridQuantumClassicalLayer,
+)
+from .distributed import (
+    NodeType, TaskDistributionStrategy, ComputeNode, DistributedTask,
+    ClusterKV, QuantumDistributedManager,
+)
 
 __all__ = [
     "QuantumSafetyManager", "SafeScheduler",
+    "QuantumProvider", "QuantumConfig", "Circuit", "QuantumBackendInterface",
+    "LocalStatevectorBackend", "IBMQuantumBackend", "GoogleQuantumBackend",
+    "QuantumHardwareManager", "HybridQuantumClassicalLayer",
+    "NodeType", "TaskDistributionStrategy", "ComputeNode", "DistributedTask",
+    "ClusterKV", "QuantumDistributedManager",
     "QuantumTaskPlanner", "QuantumPlanner", "Task", "TaskPriority", "TaskStatus",
     "QuantumScheduler", "SchedulingStrategy", "ResourceSnapshot", "read_resources",
     "QuantumOptimizer", "OptimizationSpace", "Parameter", "Trial",

@@ -32,7 +32,8 @@ from flax import struct
 
 from ..models.dgdm import DGDMModel
 from ..ops.graph import PaddedGraph
-from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import DATA_AXIS, make_mesh, replicate_tree, shard_batch
+from ..parallel.tp import describe_sharding, place_state_tp, tp_param_specs, tp_size
 from ..utils.config import DGDMConfig
 from ..utils.logging import get_logger
 from ..utils.monitoring import monitor_operation
@@ -159,7 +160,15 @@ class DGDMTrainer:
                                  deterministic=True)
         state = TrainState.create(params, self.tx, jax.random.fold_in(rng, 7))
         if self.mesh is not None:
-            state = replicate_tree(state, self.mesh)
+            if tp_size(self.mesh) > 1:
+                # 2-D (data, model) mesh: shard wide kernels + Adam moments
+                # over 'model' (parallel/tp.py), batch stays on 'data'
+                specs = tp_param_specs(params, self.mesh)
+                state = place_state_tp(state, specs, self.mesh)
+                logger.info("tensor-parallel param layout: %s",
+                            describe_sharding(params, self.mesh))
+            else:
+                state = replicate_tree(state, self.mesh)
         self.state = state
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         logger.info("initialized model with %.2fM parameters", n_params / 1e6)
@@ -238,7 +247,11 @@ class DGDMTrainer:
         graphs (node_mask all-False ⇒ zero loss weight)."""
         if self.mesh is None:
             return batch
-        n_dev = int(np.prod(self.mesh.devices.shape))
+        # only the data axis shards the batch; a model axis replicates it
+        try:
+            n_dev = int(self.mesh.shape[DATA_AXIS])
+        except KeyError:
+            n_dev = int(np.prod(self.mesh.devices.shape))
         b = batch.x.shape[0]
         rem = (-b) % n_dev
         if rem == 0:

@@ -283,9 +283,27 @@ class TestServing:
             assert resp.status == 200, resp.read()
             out = _json.loads(resp.read())
             assert "probabilities" in out and "latency_s" in out
+            # batched predict: two copies of the same graph in one call
+            body = _json.dumps({"graphs": [single, single]})
+            conn.request("POST", "/predict_batch", body=body,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            out = _json.loads(resp.read())
+            assert out["count"] == 2 and len(out["results"]) == 2
+            assert "probabilities" in out["results"][0]
+            # prometheus metrics text
+            conn.request("GET", "/metrics")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            text = resp.read().decode()
+            assert "dgdm_requests_total 2" in text
+            assert "dgdm_errors_total 0" in text
             # malformed payload -> 400
             conn.request("POST", "/predict", body="{}",
                          headers={"Content-Type": "application/json"})
             assert conn.getresponse().status == 400
+            conn.request("GET", "/metrics")
+            assert "dgdm_errors_total 1" in conn.getresponse().read().decode()
         finally:
             server.stop()

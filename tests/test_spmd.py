@@ -75,3 +75,72 @@ class TestShardMapStep:
             state, m = step(state, sharded)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestTensorParallel:
+    """2-D ('data','model') mesh: TP param layout (parallel/tp.py)."""
+
+    def test_param_specs_pair_bias_with_kernel(self):
+        from jax.sharding import PartitionSpec as P
+        from dgdm_histopath_tpu.parallel.tp import (
+            describe_sharding, tp_param_specs)
+        mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+        batch = labeled_batch(4)
+        trainer = setup_trainer(use_mesh=False)
+        params = trainer.model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2)},
+            batch, mode="pretrain", deterministic=True)
+        specs = tp_param_specs(params, mesh)
+        flat = {tuple(str(getattr(k, "key", k)) for k in path): s
+                for path, s in jax.tree_util.tree_flatten_with_path(
+                    specs, is_leaf=lambda x: isinstance(x, P))[0]}
+        # hidden dims (32, 16) divide tp=4: column-parallel kernels exist
+        cols = [p for p, s in flat.items() if s == P(None, "model")]
+        assert cols, "expected at least one column-parallel kernel"
+        # every column kernel's sibling bias is sharded the same way
+        for path in cols:
+            bias_path = path[:-1] + ("bias",)
+            if bias_path in flat:
+                assert flat[bias_path] == P("model"), (path, flat[bias_path])
+        counts = describe_sharding(params, mesh)
+        assert counts["column"] > 0 and counts["replicated"] > 0
+
+    def test_tp_training_matches_dp_only(self):
+        # identical math: a (2,4) TP layout must produce the same losses and
+        # updated params as the 1-D DP mesh (GSPMD only changes layout)
+        batch = labeled_batch(4)
+
+        t_dp = setup_trainer(mesh=make_mesh(axes=("data",)))
+        t_dp.init_state(jax.random.PRNGKey(0), batch)
+        t_tp = setup_trainer(mesh=make_mesh(axes=("data", "model"),
+                                            shape=(2, 4)))
+        t_tp.init_state(jax.random.PRNGKey(0), batch)
+
+        for epoch in (1, 1, 1):
+            m_dp = t_dp.training_step(batch, epoch=epoch, materialize=True)
+            m_tp = t_tp.training_step(batch, epoch=epoch, materialize=True)
+            assert float(m_dp["loss"]) == pytest.approx(float(m_tp["loss"]),
+                                                        rel=2e-4)
+        p1 = jax.tree_util.tree_leaves(t_dp.state.params)
+        p2 = jax.tree_util.tree_leaves(t_tp.state.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_tp_state_actually_sharded(self):
+        from dgdm_histopath_tpu.parallel.tp import MODEL_AXIS
+        mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+        batch = labeled_batch(4)
+        trainer = setup_trainer(mesh=mesh)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        sharded_leaves = 0
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+            spec = leaf.sharding.spec
+            if any(ax == MODEL_AXIS for ax in spec if ax is not None):
+                sharded_leaves += 1
+        assert sharded_leaves > 0, "no parameter ended up model-sharded"
+        # pretrain step also runs under the 2-D mesh
+        m = trainer.training_step(batch, epoch=0, materialize=True)
+        assert np.isfinite(float(m["loss"]))
