@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
         # hardware
         sp.add_argument("--devices", type=int, default=None,
                         help="data-parallel device count (default: all)")
+        sp.add_argument("--mesh-shape", type=str, default=None,
+                        help="comma ints, e.g. '8' (pure DP) or '2,4' "
+                             "(data x model tensor-parallel; ADR-0005)")
+        sp.add_argument("--mesh-axes", type=str, default=None,
+                        help="comma names matching --mesh-shape; default "
+                             "'data' or 'data,model'")
         sp.add_argument("--precision", choices=["32", "bf16-mixed", "16-mixed"],
                         default=None)
         # logging
@@ -144,6 +150,14 @@ def merge_cli_config(args: argparse.Namespace) -> DGDMConfig:
         d["dataset_type"] = args.dataset_type
     if args.devices is not None:
         h["devices"] = args.devices
+    if getattr(args, "mesh_shape", None):
+        shape = [int(x) for x in args.mesh_shape.split(",")]
+        h["mesh_shape"] = shape
+        if getattr(args, "mesh_axes", None):
+            h["mesh_axes"] = [a.strip() for a in args.mesh_axes.split(",")]
+        else:
+            h["mesh_axes"] = ["data", "model"][:len(shape)] \
+                if len(shape) <= 2 else [f"axis{i}" for i in range(len(shape))]
     if args.precision is not None:
         h["precision"] = args.precision
     if args.seed is not None:

@@ -529,4 +529,11 @@ class DGDMTrainer:
             survival_intervals=cfg.survival.num_intervals,
             edge_features=m.edge_features, compute_dtype=m.compute_dtype,
             param_dtype=m.param_dtype)
+        hw = cfg.hardware
+        if mesh is None and getattr(hw, "mesh_shape", None):
+            # config-driven mesh: e.g. mesh_shape [2, 4] + mesh_axes
+            # ['data','model'] gives the tensor-parallel layout (ADR-0005)
+            mesh = make_mesh(shape=list(hw.mesh_shape),
+                             axes=tuple(hw.mesh_axes),
+                             n_devices=int(np.prod(hw.mesh_shape)))
         return cls(model, TrainerConfig.from_config(cfg), mesh=mesh)

@@ -144,3 +144,19 @@ class TestTensorParallel:
         # pretrain step also runs under the 2-D mesh
         m = trainer.training_step(batch, epoch=0, materialize=True)
         assert np.isfinite(float(m["loss"]))
+
+    def test_mesh_shape_from_config(self):
+        # hardware.mesh_shape/mesh_axes drive the trainer's mesh (CLI
+        # --mesh-shape 2,4 lands here via load_config overrides)
+        from dgdm_histopath_tpu.training import DGDMTrainer
+        from dgdm_histopath_tpu.utils.config import load_config
+        cfg = load_config(None, overrides={
+            "model": {"node_features": 16, "hidden_dims": [32, 16],
+                      "num_diffusion_steps": 3, "attention_heads": 4,
+                      "graph_layers": 1, "compute_dtype": "float32"},
+            "hardware": {"mesh_shape": [2, 4],
+                         "mesh_axes": ["data", "model"]}})
+        trainer = DGDMTrainer.from_config(cfg)
+        assert trainer.mesh is not None
+        assert trainer.mesh.axis_names == ("data", "model")
+        assert dict(trainer.mesh.shape) == {"data": 2, "model": 4}
