@@ -154,14 +154,31 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
 
 
 def main():
+    if "--batch-sweep" in sys.argv:
+        # find the saturating batch for the Base geometry: throughput
+        # benchmarks report the best batch (each size is a fresh compile)
+        results = []
+        for b in (4, 8, 16, 32):
+            r = bench_config(f"1024node_base_b{b}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=b, n_iters=20)
+            r["batch"] = b
+            results.append(r)
+            print(json.dumps(r), file=sys.stderr)
+        best = max(results, key=lambda r: r["value"])
+        print(json.dumps(best))
+        return
     base = bench_config("1024node_base", node_features=768,
                         hidden_dims=(512, 256, 128), num_steps=10, heads=8,
                         layers=4, nodes=1024, n_real=1000, batch=4)
+    base["batch"] = 4
     if "--large" in sys.argv:
         large = bench_config("2048node_large", node_features=1024,
                              hidden_dims=(768, 512, 256, 128), num_steps=20,
                              heads=16, layers=4, nodes=2048, n_real=2000,
                              batch=4, n_iters=10)
+        large["batch"] = 4
         base["large"] = large
     print(json.dumps(base))
 

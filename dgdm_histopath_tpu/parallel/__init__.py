@@ -8,10 +8,12 @@ from .tp import (
     tp_size, tp_param_specs, shard_tree_like, place_state_tp,
     describe_sharding,
 )
+from .sp import node_sharding, shard_graph_nodes, constrain_nodes
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
     "shard_batch", "replicate_tree", "pad_batch_to_devices",
     "tp_size", "tp_param_specs", "shard_tree_like", "place_state_tp",
     "describe_sharding",
+    "node_sharding", "shard_graph_nodes", "constrain_nodes",
 ]

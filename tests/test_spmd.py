@@ -160,3 +160,45 @@ class TestTensorParallel:
         assert trainer.mesh is not None
         assert trainer.mesh.axis_names == ("data", "model")
         assert dict(trainer.mesh.shape) == {"data": 2, "model": 4}
+
+
+class TestNodeSharding:
+    """SP analogue: node axis sharded over 'model' (parallel/sp.py)."""
+
+    def test_forward_matches_replicated(self):
+        from dgdm_histopath_tpu.parallel.sp import shard_graph_nodes
+        mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+        # 24-node graphs pad to buckets; use 32 nodes (divisible by tp=4)
+        gs = []
+        for i in range(4):
+            g = make_synthetic_graph(seed=i, n_nodes=32, n_real=28,
+                                     feat_dim=16)
+            gs.append(g.replace(y=jnp.asarray(i % 2, jnp.int32)))
+        batch = batch_graphs(gs)
+
+        trainer = setup_trainer(use_mesh=False)
+        params = trainer.model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2)},
+            batch, mode="inference", deterministic=True)
+
+        fwd = jax.jit(lambda p, b: trainer.model.apply(
+            p, b, mode="inference", deterministic=True)
+            ["classification_logits"])
+        ref = np.asarray(fwd(params, batch))
+
+        sharded = shard_graph_nodes(batch, mesh)
+        for leaf in (sharded.x, sharded.node_mask, sharded.nbr_idx):
+            spec = leaf.sharding.spec
+            assert "model" in [ax for ax in spec if ax is not None]
+        out = np.asarray(fwd(params, sharded))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_indivisible_bucket_rejected(self):
+        from dgdm_histopath_tpu.parallel.sp import shard_graph_nodes
+        mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+        g = make_synthetic_graph(seed=0, n_nodes=30, n_real=28, feat_dim=16)
+        batch = batch_graphs([g, g])
+        with pytest.raises(ValueError):
+            shard_graph_nodes(batch, mesh)
