@@ -219,7 +219,7 @@ def _execute_training(cfg: DGDMConfig, args, resume_dir=None) -> int:
     mgr = CheckpointManager(ckpt_dir, save_top_k=cfg.logging.save_top_k,
                             monitor=cfg.logging.monitor_metric)
     if resume_dir and mgr.last_step is not None:
-        trainer.state = mgr.restore(trainer.state)
+        trainer.state = trainer.place_state(mgr.restore(trainer.state))
         trainer.current_epoch = mgr.last_step + 1
         logger.info("resumed from epoch %d", trainer.current_epoch)
 
@@ -307,7 +307,7 @@ def _validate(cfg: DGDMConfig, args) -> int:
     example = next(iter(dm.val_dataloader()))
     trainer.init_state(jax.random.PRNGKey(0), example)
     mgr = CheckpointManager(args.checkpoint_dir)
-    trainer.state = mgr.restore(trainer.state, best=True)
+    trainer.state = trainer.place_state(mgr.restore(trainer.state, best=True))
     losses = [float(trainer.validation_step(b)["loss"])
               for b in dm.val_dataloader()]
     print(json.dumps({"val_loss": float(np.mean(losses)), "batches": len(losses)}))

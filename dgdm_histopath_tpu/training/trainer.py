@@ -159,20 +159,29 @@ class DGDMTrainer:
         params = self.model.init(init_rngs, example_batch, mode="pretrain",
                                  deterministic=True)
         state = TrainState.create(params, self.tx, jax.random.fold_in(rng, 7))
-        if self.mesh is not None:
-            if tp_size(self.mesh) > 1:
-                # 2-D (data, model) mesh: shard wide kernels + Adam moments
-                # over 'model' (parallel/tp.py), batch stays on 'data'
-                specs = tp_param_specs(params, self.mesh)
-                state = place_state_tp(state, specs, self.mesh)
-                logger.info("tensor-parallel param layout: %s",
-                            describe_sharding(params, self.mesh))
-            else:
-                state = replicate_tree(state, self.mesh)
+        state = self.place_state(state)
         self.state = state
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         logger.info("initialized model with %.2fM parameters", n_params / 1e6)
         return state
+
+    def place_state(self, state: "TrainState") -> "TrainState":
+        """Apply the mesh placement to a (possibly host-resident) state.
+
+        Used at init and after checkpoint restore — Orbax restore returns
+        host arrays, which would otherwise lose the TP layout on resume.
+        """
+        if self.mesh is None:
+            return state
+        if tp_size(self.mesh) > 1:
+            # 2-D (data, model) mesh: shard wide kernels + Adam moments
+            # over 'model' (parallel/tp.py), batch stays on 'data'
+            specs = tp_param_specs(state.params, self.mesh)
+            placed = place_state_tp(state, specs, self.mesh)
+            logger.info("tensor-parallel param layout: %s",
+                        describe_sharding(state.params, self.mesh))
+            return placed
+        return replicate_tree(state, self.mesh)
 
     # ------------------------------------------------------------------
     # loss functions

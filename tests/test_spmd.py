@@ -202,3 +202,30 @@ class TestNodeSharding:
         batch = batch_graphs([g, g])
         with pytest.raises(ValueError):
             shard_graph_nodes(batch, mesh)
+
+    def test_tp_checkpoint_roundtrip_restores_layout(self, tmp_path):
+        # Orbax restore returns host arrays; place_state must re-establish
+        # the TP layout so resumed training keeps the sharded step
+        from dgdm_histopath_tpu.parallel.tp import MODEL_AXIS
+        from dgdm_histopath_tpu.training import CheckpointManager
+        mesh = make_mesh(axes=("data", "model"), shape=(2, 4))
+        batch = labeled_batch(4)
+        trainer = setup_trainer(mesh=mesh)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        trainer.training_step(batch, epoch=1, materialize=True)
+
+        mgr = CheckpointManager(tmp_path / "ckpts", save_top_k=1)
+        mgr.save(trainer.state, step=1, metric=1.0)
+        restored = trainer.place_state(mgr.restore(trainer.state))
+        # params identical and model-sharded again
+        for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        n_sharded = sum(
+            1 for leaf in jax.tree_util.tree_leaves(restored.params)
+            if any(ax == MODEL_AXIS for ax in leaf.sharding.spec
+                   if ax is not None))
+        assert n_sharded > 0
+        trainer.state = restored
+        m = trainer.training_step(batch, epoch=1, materialize=True)
+        assert np.isfinite(float(m["loss"]))
