@@ -175,7 +175,7 @@ def bench_infer(batch=4, nodes=1024):
 
 def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
               extractor="dinov2", cache_dir="benchmarks/.slides",
-              distinct=2):
+              distinct=1):
     """End-to-end predict_slide on ON-DISK gigapixel-scale slides
     (dgdm_wsi HDF5; default 24.5k×24.5k level-0 — three orders of magnitude
     above the round-1 toy), decode/compute pipelined.

@@ -136,6 +136,66 @@ def _render_tile(tx: int, ty: int, w: int, h: int, blobs, coarse: np.ndarray,
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _device_band_renderer(width: int, band: int, num_levels: int,
+                          nuclei_density: float):
+    """Jitted device renderer for one level-0 row band + its pyramid levels.
+
+    Returns a function ``(blobs [B,5] f32, coarse [..] f32, ty i32, key)
+    -> tuple of uint8 arrays [(band/2^l, width/2^l, 3) for l in levels]``.
+    The whole pipeline — blob fields (lax.scan), texture gather, nuclei
+    (thresholded uniform field + max-pool dilation instead of the host
+    path's exact sampling), gaussian noise, and every 2× box reduction —
+    runs in ONE device call, so a 1-core throttled host only pays the
+    tunnel fetch + gzip write.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def render(blobs, coarse, ty, key):
+        xx = jnp.arange(width, dtype=jnp.float32)[None, :]
+        yy = (jnp.arange(band, dtype=jnp.float32) + ty)[:, None]
+
+        def blob_step(tissue, blob):
+            cx, cy, rx, ry, theta = (blob[0], blob[1], blob[2], blob[3],
+                                     blob[4])
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            dx = (xx - cx) * c + (yy - cy) * s
+            dy = -(xx - cx) * s + (yy - cy) * c
+            d = (dx / rx) ** 2 + (dy / ry) ** 2
+            return jnp.maximum(tissue, jnp.clip(1.5 - d, 0.0, 1.0)), None
+
+        tissue, _ = lax.scan(blob_step, jnp.zeros((band, width), jnp.float32),
+                             blobs)
+        tex_rows = ((jnp.arange(band) + ty) // 32).astype(jnp.int32)
+        tex_cols = (jnp.arange(width) // 32).astype(jnp.int32)
+        texture = coarse[tex_rows][:, tex_cols]
+        bg = jnp.asarray(_BACKGROUND)
+        eo = jnp.asarray(_EOSIN)
+        he = jnp.asarray(_HEMATOXYLIN)
+        t3 = tissue[..., None]
+        img = bg * (1 - t3) + eo * (0.6 + 0.4 * texture[..., None]) * t3
+        # nuclei: per-tissue-pixel bernoulli centers, dilated radius 3 —
+        # same expected density as the host path's exact draw
+        k_nuc, k_noise = jax.random.split(key)
+        centers = ((jax.random.uniform(k_nuc, (band, width)) < nuclei_density)
+                   & (tissue > 0.5)).astype(jnp.float32)
+        nucleus = lax.reduce_window(centers, 0.0, lax.add,
+                                    (7, 7), (1, 1), "SAME") > 0.0
+        img = jnp.where(nucleus[..., None], he, img)
+        img = img + jax.random.normal(k_noise, (band, width, 3)) * 3.0
+        out0 = jnp.clip(img, 0, 255).astype(jnp.uint8)
+        outs = [out0]
+        cur = img
+        for _ in range(1, num_levels):
+            h, w = cur.shape[:2]
+            cur = cur.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+            outs.append(jnp.clip(cur, 0, 255).astype(jnp.uint8))
+        return tuple(outs)
+
+    return jax.jit(render)
+
+
 def write_synthetic_slide_hdf5(
     path: str | Path,
     width: int = 20480,
@@ -147,56 +207,128 @@ def write_synthetic_slide_hdf5(
     num_blobs: int = 24,
     nuclei_density: float = 5e-4,
     compression_opts: int = 2,
+    device: str = "auto",
 ) -> Path:
     """Stream a gigapixel-scale synthetic H&E pyramid to a dgdm_wsi HDF5
     slide (``slide_io.HDF5SlideBackend``) without ever materializing a full
-    level in memory — peak host memory is O(tile²) for level 0 and one row
-    band per downsampled level. A 40k×40k level-0 writes in tiles.
+    level in memory — peak host memory is O(band) per level.
+
+    ``device='auto'`` renders on the accelerator when one is attached
+    (one jitted call per row band returns the band at every pyramid scale;
+    the host only gzip-writes) — the numpy path needs ~minutes/tile on a
+    throttled 1-core host. ``'numpy'`` forces the host path; ``'jax'``
+    forces the device path. The file is written to a temp name and renamed,
+    so a killed run never leaves a truncated slide behind.
     """
     import json
+    import os
     import h5py
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp")
+    use_jax = device == "jax"
+    if device == "auto":
+        try:
+            import jax
+            use_jax = jax.default_backend() != "cpu"
+        except Exception:
+            use_jax = False
+    # the device path's banded pyramid reduction needs clean 2× splits
+    div = 1 << (num_levels - 1)
+    if use_jax and (width % div or height % tile or tile % div):
+        use_jax = False
     rs = np.random.RandomState(seed)
     blobs = _make_blobs(rs, width, height, num_blobs)
     coarse = rs.rand(height // 32 + 2, width // 32 + 2).astype(np.float32)
-    with h5py.File(path, "w") as f:
+    with h5py.File(tmp, "w") as f:
         f.attrs["dgdm_wsi"] = "1"
         f.attrs["properties"] = json.dumps({
             "openslide.objective-power": str(objective_power),
             "synthetic": "true", "seed": str(seed)})
         # chunks much smaller than the render tile: a 256² patch read then
         # decompresses ≤4 small chunks instead of one 2048² (12.6 MB) chunk
-        chunk = (min(512, height), min(512, width), 3)
-        d0 = f.create_dataset(
-            "level_0", shape=(height, width, 3), dtype="u1", chunks=chunk,
-            compression="gzip", compression_opts=compression_opts)
-        for ty in range(0, height, tile):
-            for tx in range(0, width, tile):
-                h = min(tile, height - ty)
-                w = min(tile, width - tx)
-                rs_tile = np.random.RandomState(
-                    (seed * 1000003 + (ty // tile) * 8191 + tx // tile) % (2 ** 31))
-                d0[ty:ty + h, tx:tx + w] = _render_tile(
-                    tx, ty, w, h, blobs, coarse, rs_tile, nuclei_density)
-        # downsampled levels: stream 2×-box-average row bands
-        prev = d0
-        for lvl in range(1, num_levels):
-            ph, pw = prev.shape[:2]
-            nh, nw = ph // 2, pw // 2
-            if nh < 1 or nw < 1:
-                break
-            d = f.create_dataset(
-                f"level_{lvl}", shape=(nh, nw, 3), dtype="u1",
-                chunks=(min(512, nh), min(512, nw), 3),
-                compression="gzip", compression_opts=compression_opts)
-            for oy in range(0, nh, tile):
-                rows = min(tile, nh - oy)
-                src = prev[2 * oy:2 * (oy + rows), :2 * nw].astype(np.float32)
-                d[oy:oy + rows] = src.reshape(
-                    rows, 2, nw, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
-            prev = d
+        if use_jax:
+            _write_levels_device(f, width, height, num_levels, tile, seed,
+                                 blobs, coarse, nuclei_density,
+                                 compression_opts)
+        else:
+            _write_levels_numpy(f, width, height, num_levels, tile, seed,
+                                blobs, coarse, nuclei_density,
+                                compression_opts)
+    os.replace(tmp, path)
     return path
+
+
+def _make_level_datasets(f, width: int, height: int, num_levels: int,
+                         compression_opts: int):
+    import h5py  # noqa: F401 (kept for symmetry; f is an h5py file)
+    ds = []
+    h, w = height, width
+    for lvl in range(num_levels):
+        if h < 1 or w < 1:
+            break
+        ds.append(f.create_dataset(
+            f"level_{lvl}", shape=(h, w, 3), dtype="u1",
+            chunks=(min(512, h), min(512, w), 3),
+            compression="gzip", compression_opts=compression_opts))
+        h, w = h // 2, w // 2
+    return ds
+
+
+def _write_levels_device(f, width, height, num_levels, tile, seed, blobs,
+                         coarse, nuclei_density, compression_opts) -> None:
+    import jax
+    import jax.numpy as jnp
+    datasets = _make_level_datasets(f, width, height, num_levels,
+                                    compression_opts)
+    levels = len(datasets)
+    render = _device_band_renderer(width, tile, levels, nuclei_density)
+    blobs_d = jnp.asarray(np.asarray(blobs, np.float32))
+    coarse_d = jnp.asarray(coarse)
+    base_key = jax.random.PRNGKey(seed)
+    pending = None  # overlap device render of band i+1 with gzip of band i
+    for bi, ty in enumerate(range(0, height, tile)):
+        outs = render(blobs_d, coarse_d, jnp.float32(ty),
+                      jax.random.fold_in(base_key, bi))
+        if pending is not None:
+            _flush_band(datasets, *pending)
+        pending = (tile, ty, [np.asarray(o) for o in outs])
+    if pending is not None:
+        _flush_band(datasets, *pending)
+
+
+def _flush_band(datasets, tile, ty, host_outs) -> None:
+    for lvl, (d, arr) in enumerate(zip(datasets, host_outs)):
+        oy = ty >> lvl
+        rows = min(arr.shape[0], d.shape[0] - oy)
+        if rows > 0:
+            d[oy:oy + rows] = arr[:rows]
+
+
+def _write_levels_numpy(f, width, height, num_levels, tile, seed, blobs,
+                        coarse, nuclei_density, compression_opts) -> None:
+    datasets = _make_level_datasets(f, width, height, num_levels,
+                                    compression_opts)
+    d0 = datasets[0]
+    for ty in range(0, height, tile):
+        for tx in range(0, width, tile):
+            h = min(tile, height - ty)
+            w = min(tile, width - tx)
+            rs_tile = np.random.RandomState(
+                (seed * 1000003 + (ty // tile) * 8191 + tx // tile) % (2 ** 31))
+            d0[ty:ty + h, tx:tx + w] = _render_tile(
+                tx, ty, w, h, blobs, coarse, rs_tile, nuclei_density)
+    # downsampled levels: stream 2×-box-average row bands
+    prev = d0
+    for lvl in range(1, len(datasets)):
+        d = datasets[lvl]
+        nh, nw = d.shape[:2]
+        for oy in range(0, nh, tile):
+            rows = min(tile, nh - oy)
+            src = prev[2 * oy:2 * (oy + rows), :2 * nw].astype(np.float32)
+            d[oy:oy + rows] = src.reshape(
+                rows, 2, nw, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+        prev = d
 
 
 def write_synthetic_tiff(
