@@ -203,11 +203,14 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
     paths = []
     gen_s = 0.0
     for i in range(distinct):
-        p = cache / f"synthetic_{width}px_seed{i}.h5"
+        # lzf + patch-aligned 256px chunks: gzip chunk-decode dominated the
+        # e2e wall clock on a 1-core host (29.9 of 34.2 s/slide measured)
+        p = cache / f"synthetic_{width}px_lzf_seed{i}.h5"
         if not p.exists():
             t = time.perf_counter()
             write_synthetic_slide_hdf5(p, width=width, height=width,
-                                       num_levels=5, tile=2048, seed=i)
+                                       num_levels=5, tile=2048, seed=i,
+                                       compression="lzf", chunk_px=256)
             gen_s += time.perf_counter() - t
         paths.append(p)
 

@@ -207,6 +207,8 @@ def write_synthetic_slide_hdf5(
     num_blobs: int = 24,
     nuclei_density: float = 5e-4,
     compression_opts: int = 2,
+    compression: str = "gzip",
+    chunk_px: int = 512,
     device: str = "auto",
 ) -> Path:
     """Stream a gigapixel-scale synthetic H&E pyramid to a dgdm_wsi HDF5
@@ -247,21 +249,24 @@ def write_synthetic_slide_hdf5(
             "synthetic": "true", "seed": str(seed)})
         # chunks much smaller than the render tile: a 256² patch read then
         # decompresses ≤4 small chunks instead of one 2048² (12.6 MB) chunk
+        comp = dict(compression=compression,
+                    compression_opts=(compression_opts
+                                      if compression == "gzip" else None),
+                    chunk_px=chunk_px)
         if use_jax:
             _write_levels_device(f, width, height, num_levels, tile, seed,
-                                 blobs, coarse, nuclei_density,
-                                 compression_opts)
+                                 blobs, coarse, nuclei_density, comp)
         else:
             _write_levels_numpy(f, width, height, num_levels, tile, seed,
-                                blobs, coarse, nuclei_density,
-                                compression_opts)
+                                blobs, coarse, nuclei_density, comp)
     os.replace(tmp, path)
     return path
 
 
 def _make_level_datasets(f, width: int, height: int, num_levels: int,
-                         compression_opts: int):
+                         comp: dict):
     import h5py  # noqa: F401 (kept for symmetry; f is an h5py file)
+    cpx = comp.get("chunk_px", 512)
     ds = []
     h, w = height, width
     for lvl in range(num_levels):
@@ -269,18 +274,18 @@ def _make_level_datasets(f, width: int, height: int, num_levels: int,
             break
         ds.append(f.create_dataset(
             f"level_{lvl}", shape=(h, w, 3), dtype="u1",
-            chunks=(min(512, h), min(512, w), 3),
-            compression="gzip", compression_opts=compression_opts))
+            chunks=(min(cpx, h), min(cpx, w), 3),
+            compression=comp.get("compression", "gzip"),
+            compression_opts=comp.get("compression_opts")))
         h, w = h // 2, w // 2
     return ds
 
 
 def _write_levels_device(f, width, height, num_levels, tile, seed, blobs,
-                         coarse, nuclei_density, compression_opts) -> None:
+                         coarse, nuclei_density, comp) -> None:
     import jax
     import jax.numpy as jnp
-    datasets = _make_level_datasets(f, width, height, num_levels,
-                                    compression_opts)
+    datasets = _make_level_datasets(f, width, height, num_levels, comp)
     levels = len(datasets)
     render = _device_band_renderer(width, tile, levels, nuclei_density)
     blobs_d = jnp.asarray(np.asarray(blobs, np.float32))
@@ -306,9 +311,8 @@ def _flush_band(datasets, tile, ty, host_outs) -> None:
 
 
 def _write_levels_numpy(f, width, height, num_levels, tile, seed, blobs,
-                        coarse, nuclei_density, compression_opts) -> None:
-    datasets = _make_level_datasets(f, width, height, num_levels,
-                                    compression_opts)
+                        coarse, nuclei_density, comp) -> None:
+    datasets = _make_level_datasets(f, width, height, num_levels, comp)
     d0 = datasets[0]
     for ty in range(0, height, tile):
         for tx in range(0, width, tile):
