@@ -7,9 +7,13 @@ Prints ONE JSON line:
 
 Honest accounting (replaces round-1's invented 4-graphs/s constant — see
 BASELINE.md "Throughput baseline derivation"):
-  * ``flops_per_step`` comes from the compiled executable's own
-    ``cost_analysis()`` — the XLA cost model of the exact program we time.
-  * ``mfu`` = achieved FLOPs/s ÷ the chip's published peak bf16 FLOPs/s.
+  * ``flops_per_step`` sums 2·M·N·K over the ``stablehlo.dot_general``
+    instructions of the lowered module we compile and time
+    (``matmul_flops_from_stablehlo``). The executable's own
+    ``cost_analysis()`` is also printed but overcounts this program — the
+    batch-32 sweep "achieved" 263 TFLOPs on a 197-TFLOP chip by its counts.
+  * ``mfu`` = achieved matmul FLOPs/s ÷ the chip's published peak bf16
+    FLOPs/s (elementwise work excluded: conservative, standard MFU).
   * ``vs_baseline`` divides our measured graphs/s by a *derived* A100
     capability bound for the same per-graph FLOPs: the reference trains on
     A100s (README.md:276) and publishes no throughput, so the fairest
@@ -49,6 +53,85 @@ def peak_bf16_flops(device) -> float | None:
         if key in kind:
             return peak
     return None
+
+
+def matmul_flops_from_stablehlo(lowered) -> float | None:
+    """Sum 2·out_numel·K over every ``stablehlo.dot_general`` in the lowered
+    (pre-backend) module.
+
+    XLA's ``cost_analysis()['flops']`` overcounts this program (the batch-32
+    sweep "achieved" 263 TFLOPs on a 197-TFLOP chip), and the TPU backend
+    rewrites batched matmuls into convolutions whose window encodings are
+    not recoverable from text — the StableHLO dot_generals carry full shapes
+    inline and are backend-independent. Caveat: ops inside ``while``/scan
+    bodies are counted once (the pretrain step has no matmul-bearing scan);
+    elementwise work is excluded. This is the standard, conservative MFU
+    numerator (model matmul FLOPs).
+    """
+    import re
+    try:
+        txt = lowered.as_text()
+    except Exception:
+        return None
+    total = 0.0
+
+    def dims_of(tensor_body: str):
+        # "4x1024x768xf32" -> [4, 1024, 768]; "f32" (scalar) -> []
+        return [int(t) for t in tensor_body.split("x") if t.isdigit()]
+
+    pat = re.compile(
+        r"stablehlo\.dot_general[^\n]*?"
+        r"(?:lhs_)?contracting_dim(?:ension)?s\s*=\s*\[([\d, ]*)\][^\n]*?"
+        r":\s*\(tensor<([^>]+)>,\s*tensor<[^>]+>\)\s*->\s*tensor<([^>]+)>")
+    for m in pat.finditer(txt):
+        cdims = [int(x) for x in m.group(1).replace(" ", "").split(",") if x]
+        lhs_dims = dims_of(m.group(2))
+        out_dims = dims_of(m.group(3))
+        k = 1
+        for d in cdims:
+            if d < len(lhs_dims):
+                k *= lhs_dims[d]
+        out = 1
+        for d in out_dims:
+            out *= d
+        total += 2.0 * out * k
+    return total or None
+
+
+def matmul_flops_from_hlo(compiled) -> float | None:
+    """Sum 2·M·N·K over every ``dot`` in the optimized HLO (CPU/GPU form;
+    the TPU backend rewrites dots into convolutions — use
+    ``matmul_flops_from_stablehlo`` there)."""
+    import re
+    try:
+        txt = compiled.as_text()
+    except Exception:
+        return None
+    # pass 1: shape of every named instruction (operand shapes are not
+    # printed inline in optimized HLO — resolve "%a.1" via its definition)
+    shapes = {}
+    def_pat = re.compile(r"%([\w.\-]+) = [a-z0-9]+\[([\d,]*)\]")
+    for m in def_pat.finditer(txt):
+        shapes[m.group(1)] = [int(x) for x in m.group(2).split(",") if x]
+    total = 0.0
+    # pass 2a: dot instructions (CPU/GPU form) — out numel × lhs contracting
+    dot_pat = re.compile(
+        r"= [a-z0-9]+\[([\d,]*)\][^ ]* dot\(%([\w.\-]+), %([\w.\-]+)\)(.*)")
+    for m in dot_pat.finditer(txt):
+        out_dims = [int(x) for x in m.group(1).split(",") if x]
+        lhs_dims = shapes.get(m.group(2), [])
+        rest = m.group(4)
+        cm = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", rest)
+        k = 1
+        if cm:
+            for d in (int(x) for x in cm.group(1).split(",") if x):
+                if d < len(lhs_dims):
+                    k *= lhs_dims[d]
+        out = 1
+        for d in out_dims:
+            out *= d
+        total += 2.0 * out * k
+    return total or None
 
 
 def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
@@ -100,15 +183,19 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
     # AOT: lower+compile once, read the cost model from the SAME executable
     # we time (no second tunnel compile, no invented FLOPs)
     jitted = trainer._get_step_fn("pretrain", batch_g)
-    compiled = jitted.lower(trainer.state, batch_g).compile()
-    flops = None
+    lowered = jitted.lower(trainer.state, batch_g)
+    compiled = lowered.compile()
+    flops_ca = None
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0)) or None
+        flops_ca = float(ca.get("flops", 0.0)) or None
     except Exception:
-        flops = None
+        flops_ca = None
+    # MFU numerator: dot_general FLOPs from the StableHLO module — the
+    # cost model overcounts this program (>100% "MFU" at batch 32)
+    flops = matmul_flops_from_stablehlo(lowered) or flops_ca
 
     state = trainer.state
     state, metrics = compiled(state, batch_g)            # warmup (cached exec)
@@ -141,6 +228,8 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
         "vs_baseline": round(vs_lower_bound, 3) if vs_lower_bound else None,
         "params": n_params,
         "flops_per_step": flops,
+        "flops_source": "stablehlo_dot_general" if flops is not flops_ca else "cost_analysis",
+        "flops_cost_analysis": flops_ca,
         "achieved_tflops": round(achieved / 1e12, 3) if achieved else None,
         "mfu": round(mfu, 4) if mfu else None,
         "step_time_ms": round(step_time * 1e3, 3),
@@ -169,10 +258,15 @@ def main():
         best = max(results, key=lambda r: r["value"])
         print(json.dumps(best))
         return
+    # batch 32 saturates the chip (sweep: 1561 g/s @b4 -> 11493 g/s @b32;
+    # step time 2.56 -> 2.78 ms — the b4 step was overhead-bound);
+    # --parity benches the reference's batch-4 config instead
+    headline_batch = 4 if "--parity" in sys.argv else 32
     base = bench_config("1024node_base", node_features=768,
                         hidden_dims=(512, 256, 128), num_steps=10, heads=8,
-                        layers=4, nodes=1024, n_real=1000, batch=4)
-    base["batch"] = 4
+                        layers=4, nodes=1024, n_real=1000,
+                        batch=headline_batch, n_iters=20)
+    base["batch"] = headline_batch
     if "--large" in sys.argv:
         large = bench_config("2048node_large", node_features=1024,
                              hidden_dims=(768, 512, 256, 128), num_steps=20,
