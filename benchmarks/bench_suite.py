@@ -22,16 +22,34 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _time(fn, warmup=2, iters=10):
+def _sync(out):
+    """Force real completion: on the axon tunnel, ``block_until_ready``
+    returns after dispatch, not execution (bench.py timing note) — only a
+    device->host fetch waits for the device."""
     import jax
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel")
+                              else leaf))
+
+
+def _time(fn, warmup=2, iters=10):
+    """Two-point slope timing with forced fetch (cancels dispatch/fetch
+    overheads; robust to the tunnel's async dispatch)."""
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync(out)
+    n1, n2 = max(iters // 2, 3), iters * 2
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn()
+        _sync(out)
+        return time.perf_counter() - t0
+
+    t1, t2 = run(n1), run(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def bench_stain(batch=256, size=256):
@@ -203,14 +221,16 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
     paths = []
     gen_s = 0.0
     for i in range(distinct):
-        # lzf + patch-aligned 256px chunks: gzip chunk-decode dominated the
-        # e2e wall clock on a 1-core host (29.9 of 34.2 s/slide measured)
-        p = cache / f"synthetic_{width}px_lzf_seed{i}.h5"
+        # uncompressed chunks: the A/B over {gzip2,lzf}×{256,512} vs raw
+        # measured 74/82/69/85 vs 137 patches/s decode on the 1-core host —
+        # h5py read machinery, not decompression, is the floor, and raw
+        # still wins ~1.7x (run bw02rahz2, 8192px, 500-patch grid)
+        p = cache / f"synthetic_{width}px_raw_seed{i}.h5"
         if not p.exists():
             t = time.perf_counter()
             write_synthetic_slide_hdf5(p, width=width, height=width,
                                        num_levels=5, tile=2048, seed=i,
-                                       compression="lzf", chunk_px=256)
+                                       compression=None, chunk_px=512)
             gen_s += time.perf_counter() - t
         paths.append(p)
 

@@ -71,10 +71,14 @@ class GraphConvolution(nn.Module):
         # (HBM traffic, not math, is the bottleneck at F=128/K=24)
         impl = self.gather_impl
         if impl == "auto":
-            # whole-program measurement (v5e, full pretrain step, ADR-0004):
-            # take 2.07 ms vs onehot 2.43 ms — XLA fuses the in-context
-            # gathers; the isolated-op 45x onehot win does not transfer.
-            impl = "xla"
+            # fetch-synced whole-program A/B (v5e, full pretrain step,
+            # ADR-0004 addendum 2): take 2694 ms vs onehot 45 ms per step —
+            # the round-2 "no difference" A/B timed DISPATCH, not execution
+            # (block_until_ready returns early on the tunnel backend), and
+            # XLA gathers dominate the real step 60x. One-hot on any
+            # accelerator; plain take on CPU (where gathers are fine).
+            from ..ops.graph import resolve_gather_impl
+            impl = "xla" if resolve_gather_impl() == "take" else "onehot"
         if impl == "pallas" and h.ndim == 3:
             from ..ops.pallas.gather_agg import weighted_gather_sum
             agg = weighted_gather_sum(h, nbr_idx,
@@ -144,7 +148,8 @@ class DynamicGraphLayer(nn.Module):
                             param_dtype=self.param_dtype)(x_in)
         k_impl = self.gather_impl
         if k_impl not in ("onehot", "take"):
-            k_impl = "take"   # measured whole-program default (ADR-0004)
+            from ..ops.graph import resolve_gather_impl
+            k_impl = resolve_gather_impl()   # onehot on accelerators (ADR-0004 add.2)
         k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx,
                                  impl=k_impl)                     # [..., N, K, H*D]
         k_nbr = k_nbr.reshape(*k_nbr.shape[:-1], heads, head_dim)

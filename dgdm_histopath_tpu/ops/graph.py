@@ -69,6 +69,19 @@ def neighbor_onehot(nbr_idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.nda
     return (nbr_idx[..., None] == jnp.arange(n, dtype=nbr_idx.dtype)).astype(dtype)
 
 
+def resolve_gather_impl() -> str:
+    """``auto`` gather policy: one-hot MXU matmuls on any accelerator, plain
+    ``take_along_axis`` on CPU.
+
+    The backend check must be ``!= "cpu"``, not ``== "tpu"`` — the tunneled
+    chip registers as ``axon`` and the old equality check silently routed it
+    to XLA gathers, which execute ~60x slower than the one-hot matmuls at
+    DGDM geometries (fetch-synced whole-step A/B, ADR-0004 addendum 2:
+    2694 ms vs 45 ms per batch-4 pretrain step).
+    """
+    return "take" if jax.default_backend() == "cpu" else "onehot"
+
+
 def gather_neighbors(x: jnp.ndarray, nbr_idx: jnp.ndarray,
                      impl: str = "auto") -> jnp.ndarray:
     """Gather neighbor features with arbitrary leading batch axes.
@@ -87,7 +100,7 @@ def gather_neighbors(x: jnp.ndarray, nbr_idx: jnp.ndarray,
     *batch, n, f = x.shape
     k = nbr_idx.shape[-1]
     if impl == "auto":
-        impl = "onehot" if jax.default_backend() == "tpu" else "take"
+        impl = resolve_gather_impl()
     if impl == "onehot":
         sel = neighbor_onehot(nbr_idx, n, x.dtype)
         return jnp.einsum("...nkm,...mf->...nkf", sel, x)
