@@ -84,13 +84,11 @@ class GraphConvolution(nn.Module):
             agg = weighted_gather_sum(h, nbr_idx,
                                       weight.astype(jnp.float32)).astype(h.dtype)
         elif impl == "onehot":
-            # fully fused: the dense per-node weight row W[n, m] absorbs the
-            # one-hot selector and the aggregation is ONE MXU matmul —
-            # neither the [N,K,F] gather nor the selector ever hits HBM
-            # (45x measured vs the take_along_axis lowering, bench_gather.py)
-            from ..ops.graph import neighbor_onehot
-            sel = neighbor_onehot(nbr_idx, h.shape[-2], h.dtype)
-            wmat = jnp.einsum("...nk,...nkm->...nm", weight, sel)
+            # the dense per-node weight row A[n, m] absorbs the one-hot
+            # selector (fused compare·mul·reduce — the [N,K,N] selector
+            # never hits HBM) and the aggregation is ONE MXU matmul
+            from ..ops.graph import weighted_adjacency
+            wmat = weighted_adjacency(nbr_idx, weight, h.shape[-2], h.dtype)
             agg = jnp.einsum("...nm,...mf->...nf", wmat, h)
         else:
             h_nbr = gather_neighbors(h, nbr_idx, impl="take")  # [..., N, K, F']

@@ -69,6 +69,20 @@ def neighbor_onehot(nbr_idx: jnp.ndarray, n: int, dtype=jnp.bfloat16) -> jnp.nda
     return (nbr_idx[..., None] == jnp.arange(n, dtype=nbr_idx.dtype)).astype(dtype)
 
 
+def weighted_adjacency(nbr_idx: jnp.ndarray, weight: jnp.ndarray,
+                       n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dense weighted adjacency: ``A[..., n, m] = Σ_k w[..., n, k]·[idx==m]``.
+
+    Built as a fused compare·multiply·reduce over k — only the [..., N, N]
+    result hits HBM, never the [..., N, K, N] selector (1.6 GB at
+    batch 32 × 1024 nodes bf16, vs 64 MB for A). ``A @ h`` then aggregates
+    messages as one MXU matmul per layer.
+    """
+    sel = nbr_idx[..., None] == jnp.arange(n, dtype=nbr_idx.dtype)
+    contrib = jnp.where(sel, weight[..., None].astype(jnp.float32), 0.0)
+    return jnp.sum(contrib, axis=-2).astype(dtype)
+
+
 def resolve_gather_impl() -> str:
     """``auto`` gather policy: one-hot MXU matmuls on any accelerator, plain
     ``take_along_axis`` on CPU.
