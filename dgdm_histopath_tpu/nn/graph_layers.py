@@ -148,10 +148,16 @@ class DynamicGraphLayer(nn.Module):
         if k_impl not in ("onehot", "take"):
             from ..ops.graph import resolve_gather_impl
             k_impl = resolve_gather_impl()   # onehot on accelerators (ADR-0004 add.2)
+        # NOTE (measured, fetch-synced, b32 Base): a score-space selection
+        # (dense S = q·Kᵀ then per-node [K,M]@[M,H] selection) cuts FLOPs
+        # 2218→1288 GF but SLOWS the step 77.5→135.4 ms — the tiny per-node
+        # selection matmuls map terribly onto the MXU. The straight one-hot
+        # key gather below is the fastest measured formulation.
         k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx,
                                  impl=k_impl)                     # [..., N, K, H*D]
         k_nbr = k_nbr.reshape(*k_nbr.shape[:-1], heads, head_dim)
-        scores = jnp.einsum("...nhd,...nkhd->...nkh", q, k_nbr).astype(jnp.float32)
+        scores = jnp.einsum("...nhd,...nkhd->...nkh", q,
+                            k_nbr).astype(jnp.float32)
         if edge_attr is not None:
             # q · (edge_attr @ We + be) reassociated by linearity so the
             # [N, K, H, D] edge-key tensor is never materialized:
