@@ -24,15 +24,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _timed(fn, iters=50, warmup=3):
+    """Two-point slope with forced fetch: block_until_ready returns at
+    dispatch on the tunnel backend (bench.py timing note)."""
     import jax
+    import numpy as np
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel")
+                                  else leaf))
+
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    sync(out)
+    n1, n2 = max(iters // 2, 3), iters * 2
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn()
+        sync(out)
+        return time.perf_counter() - t0
+
+    t1, t2 = run(n1), run(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def main():

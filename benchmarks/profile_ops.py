@@ -43,15 +43,30 @@ def _mk_batch(batch, nodes, feat=768, k=24, seed=0):
 
 
 def _timed(fn, *args, iters=20, warmup=2):
+    """Two-point slope with forced fetch: block_until_ready returns at
+    dispatch on the tunnel backend (bench.py timing note)."""
     import jax
+    import numpy as np
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel")
+                                  else leaf))
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    sync(out)
+    n1, n2 = max(iters // 2, 3), iters * 2
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        sync(out)
+        return time.perf_counter() - t0
+
+    t1, t2 = run(n1), run(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def _cost(lowered_compiled):
@@ -194,12 +209,19 @@ def main():
         compiled = jitted.lower(trainer.state, b).compile()
         state = trainer.state
         state, m = compiled(state, b)
-        jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, m = compiled(state, b)
-        jax.block_until_ready(m["loss"])
-        full_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        float(m["loss"])                  # forced fetch (bench.py timing note)
+
+        def run(k, state):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, m = compiled(state, b)
+            float(m["loss"])
+            return time.perf_counter() - t0, state
+
+        n1, n2 = max(args.iters // 2, 3), args.iters * 2
+        t1, state = run(n1, state)
+        t2, state = run(n2, state)
+        full_ms = max((t2 - t1) / (n2 - n1), 1e-9) * 1e3
         flops, bytes_ = _cost(compiled)
         rows.append({"op": "FULL pretrain step", "train_ms": round(full_ms, 3),
                      "train_flops": flops, "train_bytes": bytes_,

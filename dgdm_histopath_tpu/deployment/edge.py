@@ -136,15 +136,15 @@ class EdgeInferenceEngine:
         t0 = time.perf_counter()
         out = self._forward(self.params, graph)
         logits = out.get("classification_logits")
-        if logits is not None:
-            jax.block_until_ready(logits)
+        # fetch (not block_until_ready, which returns at dispatch on
+        # tunneled backends) so latency_s covers real execution
+        arr = None if logits is None else np.asarray(logits, np.float32)
         dt = time.perf_counter() - t0
         self.stats["requests"] += 1
         self.stats["total_latency_s"] += dt
         self.stats["max_latency_s"] = max(self.stats["max_latency_s"], dt)
         result: Dict[str, Any] = {"latency_s": dt}
-        if logits is not None:
-            arr = np.asarray(logits, np.float32)
+        if arr is not None:
             probs = np.exp(arr - arr.max(-1, keepdims=True))
             probs /= probs.sum(-1, keepdims=True)
             result.update({"probabilities": probs,
