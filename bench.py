@@ -259,7 +259,7 @@ def main():
         # find the saturating batch for the Base geometry: throughput
         # benchmarks report the best batch (each size is a fresh compile)
         results = []
-        for b in (4, 8, 16, 32):
+        for b in (8, 32, 64, 128):
             r = bench_config(f"1024node_base_b{b}", node_features=768,
                              hidden_dims=(512, 256, 128), num_steps=10,
                              heads=8, layers=4, nodes=1024, n_real=1000,

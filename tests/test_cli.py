@@ -52,6 +52,7 @@ class TestPreprocessCLI:
 
 
 class TestTrainPredictCLI:
+    @pytest.mark.slow
     def test_train_then_predict(self, fixture_dir):
         from dgdm_histopath_tpu.cli.predict import main as predict_main
         from dgdm_histopath_tpu.cli.train import main as train_main
@@ -126,6 +127,7 @@ class TestQualityGates:
 
 
 class TestAutonomousRunner:
+    @pytest.mark.slow
     def test_report(self, tmp_path):
         from dgdm_histopath_tpu.testing import AutonomousTestRunner
         runner = AutonomousTestRunner(output_dir=tmp_path, level="greenfield")

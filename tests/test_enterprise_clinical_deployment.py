@@ -187,6 +187,7 @@ class TestEnterprise:
 
 
 class TestDeployment:
+    @pytest.mark.slow
     def test_int8_quantization_roundtrip(self):
         model, params, g = tiny_model_setup()
         q = quantize_params_int8(params)

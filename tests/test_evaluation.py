@@ -121,6 +121,7 @@ class TestPredictor:
         assert len(result["biomarkers"]) > 0
         assert result["uncertainty"]["entropy"] >= 0.0
 
+    @pytest.mark.slow
     def test_predict_slide_pipelined_matches_serial(self, tmp_path):
         """Decode/compute-overlapped inference returns the same prediction as
         the sequential path, plus a stage breakdown (VERDICT r1 weak #3)."""

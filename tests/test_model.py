@@ -266,6 +266,7 @@ class TestPresets:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_matches_plain(self):
         from dgdm_histopath_tpu.ops.graph import batch_graphs
         g = small_batch(feat_dim=32)

@@ -37,6 +37,7 @@ def labeled_batch(b=8):
 
 
 class TestShardMapStep:
+    @pytest.mark.slow
     def test_matches_gspmd_path(self):
         mesh = make_mesh(axes=("data",))
         batch = labeled_batch(8)
@@ -107,6 +108,7 @@ class TestTensorParallel:
         counts = describe_sharding(params, mesh)
         assert counts["column"] > 0 and counts["replicated"] > 0
 
+    @pytest.mark.slow
     def test_tp_training_matches_dp_only(self):
         # identical math: a (2,4) TP layout must produce the same losses and
         # updated params as the 1-D DP mesh (GSPMD only changes layout)

@@ -137,6 +137,7 @@ class TestSchedule:
 
 
 class TestTrainerSteps:
+    @pytest.mark.slow
     def test_pretrain_step_decreases_loss(self):
         model = tiny_model()
         trainer = DGDMTrainer(model, TrainerConfig(
@@ -148,6 +149,7 @@ class TestTrainerSteps:
         assert np.isfinite(losses).all()
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
+    @pytest.mark.slow
     def test_finetune_classification_step(self):
         model = tiny_model(num_classes=3)
         trainer = DGDMTrainer(model, TrainerConfig(
@@ -168,6 +170,7 @@ class TestTrainerSteps:
         assert "accuracy" in out
         assert out["probabilities"].shape == (4, 3)
 
+    @pytest.mark.slow
     def test_fit_loop_with_early_stop(self):
         model = tiny_model(num_classes=2)
         trainer = DGDMTrainer(model, TrainerConfig(
@@ -185,6 +188,7 @@ class TestTrainerSteps:
 
 @pytest.mark.integration
 class TestDataParallel:
+    @pytest.mark.slow
     def test_dp_mesh_step_matches_single_device(self):
         n_dev = len(jax.devices())
         assert n_dev == 8, f"expected 8 virtual CPU devices, got {n_dev}"
