@@ -203,9 +203,16 @@ class SpatialAttention(nn.Module):
                 q, k_, v_, pos.astype(jnp.float32), node_mask,
                 tau=self.distance_tau)
         else:
-            # dense path: explicit [B, 1, N, N] distance bias
-            diff = pos[..., :, None, :] - pos[..., None, :, :]
-            dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-12))
+            # dense path: explicit [B, 1, N, N] distance bias.
+            # ||a−b||² = |a|²+|b|²−2a·bᵀ: one [N,2]@[2,N] matmul instead of
+            # the [B,N,N,2] diff intermediate; HIGHEST precision because the
+            # small-K cross term feeds an exp (repo precision rule)
+            posf = pos.astype(jnp.float32)
+            sq = jnp.sum(posf * posf, axis=-1)
+            cross = jnp.einsum("...nc,...mc->...nm", posf, posf,
+                               precision=jax.lax.Precision.HIGHEST)
+            d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * cross
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
             bias = (-dist / self.distance_tau)[..., None, :, :]
             dropout_rng = None
             if self.dropout > 0.0 and not deterministic:
