@@ -197,6 +197,50 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
     # cost model overcounts this program (>100% "MFU" at batch 32)
     flops = matmul_flops_from_stablehlo(lowered) or flops_ca
 
+    # model-math FLOPs (VERDICT r2 #5): the one-hot gather formulation adds
+    # O(N^2 K F) selector matmuls that are formulation overhead, not model
+    # math. Lower (trace only, no tunnel compile) the SAME step with the
+    # take_along_axis formulation — its dot_generals are the dense/attention
+    # matmuls the reference's scatter formulation also performs — and report
+    # a second MFU over that honest numerator.
+    flops_model = None
+    try:
+        model_xla = DGDMModel(
+            node_features=node_features, hidden_dims=hidden_dims,
+            num_diffusion_steps=num_steps, attention_heads=heads,
+            graph_layers=layers, num_classes=2,
+            use_spatial_attention=True, use_hierarchical=True,
+            pooling="attention", gather_impl="xla",
+        )
+        trainer_xla = DGDMTrainer(
+            model_xla,
+            TrainerConfig(learning_rate=1e-4, warmup_steps=10,
+                          pretrain_epochs=10, steps_per_epoch=100),
+            use_mesh=trainer.mesh is not None,
+        )
+        trainer_xla.state = trainer.state     # same param tree; compute differs
+        lowered_xla = trainer_xla._get_step_fn("pretrain", batch_g).lower(
+            trainer.state, batch_g)
+        flops_model = matmul_flops_from_stablehlo(lowered_xla)
+    except Exception:
+        flops_model = None
+
+    # HBM high-water of the timed executable (argument + temp allocations)
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "generated_code_size_in_bytes"):
+            v = getattr(ma, k, None)
+            if v is not None:
+                mem[k] = int(v)
+        if "argument_size_in_bytes" in mem and "temp_size_in_bytes" in mem:
+            mem["hbm_highwater_gb"] = round(
+                (mem["argument_size_in_bytes"] + mem["output_size_in_bytes"]
+                 + mem["temp_size_in_bytes"]) / 1e9, 3)
+    except Exception:
+        pass
+
     # TIMING DISCIPLINE (two-point slope with forced fetch): on the axon
     # tunnel backend ``block_until_ready`` returns after DISPATCH, not
     # execution — an 8192^3 bf16 matmul chain "measured" 50,000 TFLOPs/s
@@ -241,6 +285,10 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
         "flops_cost_analysis": flops_ca,
         "achieved_tflops": round(achieved / 1e12, 3) if achieved else None,
         "mfu": round(mfu, 4) if mfu else None,
+        "flops_per_step_model_math": flops_model,
+        "mfu_model_math": (round(flops_model / step_time / peak, 4)
+                           if (flops_model and peak) else None),
+        "memory_analysis": mem or None,
         "step_time_ms": round(step_time * 1e3, 3),
         "timing": {"protocol": "two_point_slope_forced_fetch",
                    "n1": n1, "t1_s": round(t1, 4),

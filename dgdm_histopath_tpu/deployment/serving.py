@@ -59,7 +59,8 @@ class InferenceServer:
     """Wraps a DGDMPredictor behind HTTP with rate limiting + metrics."""
 
     def __init__(self, predictor, port: int = 8080,
-                 rate_limit_per_s: float = 50.0):
+                 rate_limit_per_s: float = 50.0,
+                 data_root: Optional[str] = None):
         self.predictor = predictor
         self.port = port
         self.health = ProductionHealthChecker(predictor)
@@ -67,13 +68,30 @@ class InferenceServer:
                                         burst=int(rate_limit_per_s * 2))
         self.stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
         self._httpd: Optional[HTTPServer] = None
+        # path-based loading is opt-in: without a configured data_root, a
+        # client-supplied graph_path would let any caller make the server
+        # read arbitrary host files (ADVICE r2)
+        from pathlib import Path
+        self.data_root = Path(data_root).resolve() if data_root else None
+
+    def _resolve_graph_path(self, path: str):
+        """Confine client-supplied paths to the configured data root."""
+        from pathlib import Path
+        if self.data_root is None:
+            raise PermissionError(
+                "path-based graph loading is disabled: the server was "
+                "started without data_root; send inline 'graph' JSON instead")
+        resolved = (self.data_root / path).resolve()
+        if self.data_root not in resolved.parents and resolved != self.data_root:
+            raise PermissionError(f"graph path escapes data_root: {path!r}")
+        return resolved
 
     # ------------------------------------------------------------------
     def handle_predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         t0 = time.perf_counter()
         if "graph_path" in payload:
             from ..data.graph_io import load_graph
-            graph = load_graph(payload["graph_path"])
+            graph = load_graph(self._resolve_graph_path(payload["graph_path"]))
         elif "graph" in payload:
             graph = graph_from_json(payload["graph"])
         else:
@@ -90,7 +108,8 @@ class InferenceServer:
         t0 = time.perf_counter()
         if "graph_paths" in payload:
             from ..data.graph_io import load_graph
-            graphs = [load_graph(p) for p in payload["graph_paths"]]
+            graphs = [load_graph(self._resolve_graph_path(p))
+                      for p in payload["graph_paths"]]
         elif "graphs" in payload:
             graphs = [graph_from_json(g) for g in payload["graphs"]]
         else:

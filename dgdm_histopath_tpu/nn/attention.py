@@ -203,16 +203,16 @@ class SpatialAttention(nn.Module):
                 q, k_, v_, pos.astype(jnp.float32), node_mask,
                 tau=self.distance_tau)
         else:
-            # dense path: explicit [B, 1, N, N] distance bias.
-            # ||a−b||² = |a|²+|b|²−2a·bᵀ: one [N,2]@[2,N] matmul instead of
-            # the [B,N,N,2] diff intermediate; HIGHEST precision because the
-            # small-K cross term feeds an exp (repo precision rule)
+            # dense path: explicit [B, 1, N, N] distance bias. Per-component
+            # broadcast differences, NOT |a|²+|b|²−2ab: the matmul form
+            # cancels catastrophically for nearby points (~3e-4 dist error in
+            # f32, amplified by exp(-dist/τ)) and broke flash/dense parity
+            # (ADR-0004). Two [B,N,N] elementwise intermediates fuse into the
+            # bias consumer — no [B,N,N,2] array is materialized.
             posf = pos.astype(jnp.float32)
-            sq = jnp.sum(posf * posf, axis=-1)
-            cross = jnp.einsum("...nc,...mc->...nm", posf, posf,
-                               precision=jax.lax.Precision.HIGHEST)
-            d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * cross
-            dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            dx = posf[..., :, None, 0] - posf[..., None, :, 0]
+            dy = posf[..., :, None, 1] - posf[..., None, :, 1]
+            dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
             bias = (-dist / self.distance_tau)[..., None, :, :]
             dropout_rng = None
             if self.dropout > 0.0 and not deterministic:

@@ -56,10 +56,28 @@ class GraphConvolution(nn.Module):
         nbr_mask: jnp.ndarray,   # [..., N, K]
         edge_attr: Optional[jnp.ndarray] = None,   # [..., N, K, E]
         edge_weight: Optional[jnp.ndarray] = None,  # [..., N, K] multiplicative
+        adj: Optional[jnp.ndarray] = None,         # [..., N, N] precomputed weighted adjacency
+        edge_sum: Optional[jnp.ndarray] = None,    # [..., N, E] precomputed Σ_k weight·e
+        self_norm: Optional[jnp.ndarray] = None,   # [..., N] required with adj/edge_sum
     ) -> jnp.ndarray:
         w = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype, param_dtype=self.param_dtype)
         h = w(x)                                             # transform-then-gather: one matmul
+        if adj is not None:
+            # caller hoisted the (identical) adjacency/edge-sum build shared
+            # by sibling convs — e.g. DynamicGraphLayer's conv1/conv2, which
+            # see the same (nbr_idx, edge_weight); guarantees the dedup
+            # whether or not XLA CSEs the twin reduce fusions
+            agg = jnp.einsum("...nm,...mf->...nf", adj.astype(h.dtype), h)
+            if self.use_edge_features and edge_sum is not None:
+                agg = agg + nn.Dense(self.features, use_bias=False,
+                                     name="edge_lin", dtype=self.dtype,
+                                     param_dtype=self.param_dtype)(
+                    edge_sum.astype(h.dtype))
+            out = agg + h * self_norm[..., None].astype(h.dtype)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              self.param_dtype)
+            return out + bias.astype(out.dtype)
         norm, self_norm = symmetric_norm(nbr_idx, nbr_mask)
         weight = norm.astype(h.dtype)
         if edge_weight is not None:
@@ -185,16 +203,32 @@ class DynamicGraphLayer(nn.Module):
             attn = attn * keep / (1.0 - self.dropout)
         edge_weight = jnp.mean(attn, axis=-1)                            # [..., N, K] head-avg
 
+        # conv1 and conv2 share identical (nbr_idx, edge_weight): build the
+        # weighted adjacency + edge-attr reduction ONCE and hand both convs
+        # the precomputed tensors (VERDICT r2 #3 — explicit hoist instead of
+        # trusting XLA to CSE the twin [N,K,N] reduce fusions)
+        adj = edge_sum = hoisted_self_norm = None
+        if k_impl == "onehot" and self.gather_impl in ("auto", "onehot"):
+            from ..ops.graph import weighted_adjacency
+            norm, hoisted_self_norm = symmetric_norm(nbr_idx, nbr_mask)
+            cw = (norm.astype(self.dtype) * edge_weight.astype(self.dtype)
+                  * nbr_mask.astype(self.dtype))
+            adj = weighted_adjacency(nbr_idx, cw, x_in.shape[-2], self.dtype)
+            if edge_attr is not None:
+                edge_sum = jnp.sum(edge_attr.astype(self.dtype)
+                                   * cw[..., None], axis=-2)
         h = GraphConvolution(f, name="conv1", gather_impl=self.gather_impl,
                              dtype=self.dtype,
                              param_dtype=self.param_dtype)(
-            x_in, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight)
+            x_in, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight,
+            adj=adj, edge_sum=edge_sum, self_norm=hoisted_self_norm)
         h = nn.gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = GraphConvolution(f, name="conv2", gather_impl=self.gather_impl,
                              dtype=self.dtype,
                              param_dtype=self.param_dtype)(
-            h, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight)
+            h, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight,
+            adj=adj, edge_sum=edge_sum, self_norm=hoisted_self_norm)
         out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                            name="norm")(x_in + h)
         if return_attention:

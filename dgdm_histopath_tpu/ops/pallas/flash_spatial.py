@@ -17,9 +17,10 @@ Nk_blocks); online-softmax state (m, l, acc) lives in VMEM scratch and is
 reset at the first K-block of each Q-row, with the output written at the
 last K-block.
 
-Hardware-verified numerics notes (see docs/adr/0003): the coordinate
-cross-term runs at ``Precision.HIGHEST`` — the MXU's default bf16 passes put
-~1e-3 on d², which exp(-dist/τ) amplifies into O(1) output error. The node
+Hardware-verified numerics notes (see docs/adr/0003): the distance uses
+per-component broadcast diffs on the VPU, not a coordinate matmul — any
+|a|²+|b|²−2ab form cancels catastrophically for nearby points and the error
+is amplified by exp(-dist/τ) into O(1e-3) output error (ADR-0004). The node
 mask rides in lane 2 of the coordinate array so every input is a lane-tiled
 f32 load (narrow int32 mask blocks mis-tile under Mosaic). Head dims below
 128 are zero-padded to the lane tile by the wrapper (free on the MXU, exact).
@@ -69,11 +70,12 @@ def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
     kmask = kpos_ref[:, 2]                                     # [bk] f32 0/1
 
     scores = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-    d2 = (jnp.sum(qpos * qpos, -1, keepdims=True)
-          - 2.0 * jnp.dot(qpos, kpos.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-          + jnp.sum(kpos * kpos, -1)[None, :])
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    # per-component broadcast diff (VPU): exact where the |a|²+|b|²−2ab
+    # matmul form cancels catastrophically for nearby points — keeps
+    # bit-level agreement with the dense path's formulation (ADR-0004)
+    dx = qpos[:, 0:1] - kpos[:, 0:1].T                         # [bq, bk]
+    dy = qpos[:, 1:2] - kpos[:, 1:2].T
+    dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
     scores = scores - dist * inv_tau
     scores = jnp.where(kmask[None, :] > 0.5, scores, NEG_INF)
 

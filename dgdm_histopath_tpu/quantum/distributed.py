@@ -244,18 +244,60 @@ class QuantumDistributedManager:
                 f"{task.required_capabilities}")
         task.assigned_node = node.node_id
         with self._lock:
+            unknown = [d for d in task.dependencies if d not in self._futures]
+            if unknown:
+                raise ValueError(f"unknown dependency task ids: {unknown}")
+            dep_futures = [self._futures[d] for d in task.dependencies]
+            # the caller-visible future exists immediately; the task is only
+            # handed to the pool once every dependency has resolved — a worker
+            # blocking on dep.result() can deadlock the PriorityQueue pool
+            # when >=num_workers high-priority dependents dequeue ahead of
+            # their lower-priority dependencies
+            proxy: Future = Future()
             self._tasks[task.task_id] = task
-            dep_futures = [self._futures[d] for d in task.dependencies
-                           if d in self._futures]
-        fut = self._scheduler.submit(self._run_task, task, dep_futures,
-                                     priority=priority)
-        with self._lock:
-            self._futures[task.task_id] = fut
+            self._futures[task.task_id] = proxy
+
+        remaining = [len(dep_futures)]
+        cb_lock = threading.Lock()
+
+        def _finish(result: Any = None, exc: Optional[BaseException] = None):
+            try:
+                if exc is not None:
+                    proxy.set_exception(exc)
+                else:
+                    proxy.set_result(result)
+            except Exception:   # already resolved (e.g. two deps failed)
+                pass
+
+        def _launch():
+            real = self._scheduler.submit(self._run_task, task,
+                                          priority=priority)
+            real.add_done_callback(
+                lambda f: _finish(exc=f.exception())
+                if f.exception() is not None else _finish(result=f.result()))
+
+        def _dep_done(f: Future):
+            dep_exc = f.exception()
+            if dep_exc is not None:
+                task.error = f"dependency failed: {dep_exc}"
+                task.completed_at = time.time()
+                _finish(exc=RuntimeError(
+                    f"task {task.task_id} dependency failed: {dep_exc}"))
+                return
+            with cb_lock:
+                remaining[0] -= 1
+                ready = remaining[0] == 0
+            if ready:
+                _launch()
+
+        if not dep_futures:
+            _launch()
+        else:
+            for d in dep_futures:
+                d.add_done_callback(_dep_done)
         return task.task_id
 
-    def _run_task(self, task: DistributedTask, dep_futures: List[Future]) -> Any:
-        for dep in dep_futures:  # dependencies resolve before we start
-            dep.result()
+    def _run_task(self, task: DistributedTask) -> Any:
         task.started_at = time.time()
         try:
             return task.fn(*task.args, **task.kwargs)

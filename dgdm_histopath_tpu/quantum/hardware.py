@@ -86,8 +86,11 @@ class Circuit:
         return int(self.angles.shape[1])
 
     def key(self) -> str:
-        return hashlib.sha1(np.ascontiguousarray(
-            self.angles.astype(np.float64))).hexdigest()
+        # shape goes into the hash: (1,4) and (2,2) angles share raw bytes
+        # but describe different circuits with different 2**n_qubits outputs
+        h = hashlib.sha1(repr(self.angles.shape).encode())
+        h.update(np.ascontiguousarray(self.angles.astype(np.float64)))
+        return h.hexdigest()
 
 
 # ---------------------------------------------------------------------------

@@ -52,10 +52,14 @@ class CheckpointManager:
 
     def save(self, state: Any, step: int, metric: Optional[float] = None) -> Path:
         path = self._step_dir(step)
-        # fully materialize on host before save
+        # fully materialize on host before save (device->host copy is the
+        # cheap part; serialization runs in Orbax's background thread)
         state = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
-        self._ckpt.save(path, state, force=True)
+        # async window (VERDICT r2 #8): barrier on the PREVIOUS save only,
+        # then schedule this one and return — training continues while the
+        # serialization drains. restore()/wait_until_finished() barrier too.
         self._ckpt.wait_until_finished()
+        self._ckpt.save(path, state, force=True)
         rec = {"step": step, "metric": metric}
         self._index["records"] = [r for r in self._index["records"] if r["step"] != step]
         self._index["records"].append(rec)
@@ -82,8 +86,16 @@ class CheckpointManager:
         if p.exists():
             shutil.rmtree(p, ignore_errors=True)
 
+    def wait_until_finished(self) -> None:
+        """Barrier for any in-flight async save (call before exit)."""
+        self._ckpt.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait_until_finished()
+
     def restore(self, target: Any, step: Optional[int] = None,
                 best: bool = False) -> Any:
+        self._ckpt.wait_until_finished()   # the target step may still be in flight
         if step is None:
             step = self._index["best_step"] if best else self._index["last_step"]
         if step is None:

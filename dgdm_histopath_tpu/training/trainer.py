@@ -503,6 +503,10 @@ class DGDMTrainer:
             logger.info("epoch %d done: %s", epoch,
                         {k: round(v, 4) for k, v in summary.items()
                          if isinstance(v, float)})
+        if checkpoint_manager is not None:
+            # saves are async (checkpoint.py): drain the last one before
+            # returning so the final checkpoint is durable at fit() exit
+            checkpoint_manager.wait_until_finished()
         return {"history": self.history, "best_val_loss": best_val}
 
     def predict_step(self, batch: PaddedGraph, return_attention: bool = True) -> Dict[str, Any]:

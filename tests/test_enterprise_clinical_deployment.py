@@ -308,3 +308,35 @@ class TestServing:
             assert "dgdm_errors_total 1" in conn.getresponse().read().decode()
         finally:
             server.stop()
+
+
+class TestServingPathConfinement:
+    """Client-supplied graph_path must stay under data_root (ADVICE r2)."""
+
+    def test_path_loading_disabled_without_data_root(self):
+        from dgdm_histopath_tpu.deployment import InferenceServer
+        from dgdm_histopath_tpu.evaluation import DGDMPredictor
+        model, params, g = tiny_model_setup()
+        predictor = DGDMPredictor(model=model, params=params,
+                                  feature_extractor="none")
+        server = InferenceServer(predictor, port=18100)
+        with pytest.raises(PermissionError, match="disabled"):
+            server.handle_predict({"graph_path": "/etc/passwd"})
+
+    def test_escaping_path_rejected_and_confined_path_served(self, tmp_path):
+        from dgdm_histopath_tpu.deployment import InferenceServer
+        from dgdm_histopath_tpu.evaluation import DGDMPredictor
+        from dgdm_histopath_tpu.data.graph_io import save_graph
+        model, params, g = tiny_model_setup()
+        predictor = DGDMPredictor(model=model, params=params,
+                                  feature_extractor="none")
+        server = InferenceServer(predictor, port=18101,
+                                 data_root=str(tmp_path))
+        for bad in ("../../etc/passwd", "/etc/passwd"):
+            with pytest.raises(PermissionError):
+                server.handle_predict({"graph_path": bad})
+        single = make_synthetic_graph(seed=0, n_nodes=16, n_real=12,
+                                      feat_dim=8)
+        save_graph(single, tmp_path / "ok.npz")
+        out = server.handle_predict({"graph_path": "ok.npz"})
+        assert "probabilities" in out

@@ -214,3 +214,52 @@ def test_distributed_manager_selection_strategies():
         b = mgr.submit_task(lambda: 0)
         assert (mgr._tasks[a].assigned_node != mgr._tasks[b].assigned_node)
         mgr.wait_all(timeout=10)
+
+
+def test_distributed_manager_priority_inverted_deps_no_deadlock():
+    """High-priority dependents must not occupy every worker while their
+    low-priority dependency is still queued (ADVICE r2 deadlock): deps now
+    resolve via callbacks BEFORE the dependent enters the pool."""
+    import threading
+    with QuantumDistributedManager(num_workers=1,
+                                   capabilities=["cpu"]) as mgr:
+        gate = threading.Event()
+        # occupy the single worker so everything below queues first
+        blocker = mgr.submit_task(gate.wait, 10)
+        dep = mgr.submit_task(lambda: "dep", priority=1)       # low priority
+        dependents = [mgr.submit_task(lambda: "ok", priority=9,
+                                      dependencies=[dep])
+                      for _ in range(3)]                        # high priority
+        gate.set()
+        assert mgr.get_result(blocker, timeout=10) is not False
+        for t in dependents:
+            assert mgr.get_result(t, timeout=10) == "ok"
+
+
+def test_distributed_manager_unknown_dependency_raises():
+    with QuantumDistributedManager(num_workers=1,
+                                   capabilities=["cpu"]) as mgr:
+        with pytest.raises(ValueError, match="unknown dependency"):
+            mgr.submit_task(lambda: 0, dependencies=["task-nonexistent"])
+
+
+def test_distributed_manager_failed_dependency_fails_dependent():
+    with QuantumDistributedManager(num_workers=2,
+                                   capabilities=["cpu"]) as mgr:
+        def boom():
+            raise ValueError("upstream")
+        bad = mgr.submit_task(boom)
+        child = mgr.submit_task(lambda: "never", dependencies=[bad])
+        with pytest.raises(ValueError):
+            mgr.get_result(bad, timeout=10)
+        with pytest.raises(RuntimeError, match="dependency failed"):
+            mgr.get_result(child, timeout=10)
+
+
+def test_circuit_key_includes_shape():
+    """(1,4) and (2,2) angles share raw bytes but are different circuits;
+    their cache keys must differ (ADVICE r2 cache-collision)."""
+    angles = np.arange(4, dtype=np.float32)
+    a = Circuit(angles.reshape(1, 4))
+    b = Circuit(angles.reshape(2, 2))
+    assert a.key() != b.key()

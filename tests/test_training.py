@@ -327,3 +327,28 @@ class TestCheckpoint:
                             __meta__=_json.dumps(meta), **arrays)
         restored = load_model_bundle(tmp_path / "legacy.npz", params)
         np.testing.assert_allclose(restored["a"], params["a"])
+
+
+class TestAsyncCheckpoint:
+    def test_async_save_restores_bit_identical_snapshot(self):
+        """save() returns before serialization finishes (async window); a
+        checkpoint completing while training continues must restore the
+        state AS OF the save call, bit-identically (VERDICT r2 #8)."""
+        model = tiny_model()
+        trainer = DGDMTrainer(model, TrainerConfig(), use_mesh=False)
+        batch = tiny_batch(2)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        snapshot = jax.tree_util.tree_map(
+            lambda a: np.array(a, copy=True),
+            jax.device_get(trainer.state.params))
+        with tempfile.TemporaryDirectory() as d:
+            mgr = CheckpointManager(d, save_top_k=2)
+            mgr.save(trainer.state, step=0, metric=1.0)
+            # "training continues" while the save drains: mutate the live state
+            for _ in range(3):
+                trainer.training_step(batch, epoch=0)
+            mgr.wait_until_finished()
+            restored = mgr.restore(trainer.state, step=0)
+            for a, b in zip(jax.tree_util.tree_leaves(snapshot),
+                            jax.tree_util.tree_leaves(restored.params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
