@@ -191,9 +191,25 @@ def bench_infer(batch=4, nodes=1024):
             "unit": f"slides/sec (DGDM-Base, {nodes}-node graphs)"}
 
 
+def _evict_page_cache(path) -> bool:
+    """Drop this file's pages from the OS page cache (posix_fadvise
+    DONTNEED — per-file, no root). Returns False when unsupported."""
+    import os
+    try:
+        os.sync()                       # DONTNEED only evicts clean pages
+        fd = os.open(str(path), os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+        return True
+    except (AttributeError, OSError):
+        return False
+
+
 def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
               extractor="dinov2", cache_dir="benchmarks/.slides",
-              distinct=1):
+              distinct=1, cold=True):
     """End-to-end predict_slide on ON-DISK gigapixel-scale slides
     (dgdm_wsi HDF5; default 24.5k×24.5k level-0 — three orders of magnitude
     above the round-1 toy), decode/compute pipelined.
@@ -202,6 +218,11 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
     ~100/hour: 30 s preprocess + 5 s inference, README.md:275-277). The
     breakdown proves overlap: ``sum_stages_s > total_s`` means host decode
     ran concurrently with device featurization.
+
+    ``cold=True`` (the default headline, VERDICT r2 #9) evicts each slide's
+    pages from the OS cache immediately before its measured read, so the
+    number is the deployment bound (every byte pulled from disk), not the
+    page-cache bound. ``e2e_warm`` keeps the old warm-cache protocol.
     """
     import jax
     import numpy as np
@@ -257,20 +278,30 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
     pred.processor = proc
     pred.predict_slide(paths[0], slide_id="warmup")   # compile everything
 
-    t0 = time.perf_counter()
+    evicted = True
     agg = {}
+    total = 0.0
     for i in range(slides):
-        r = pred.predict_slide(paths[i % distinct], slide_id=f"s{i}",
-                               pipelined=True)
+        p = paths[i % distinct]
+        if cold:
+            evicted = _evict_page_cache(p) and evicted
+        t0 = time.perf_counter()
+        r = pred.predict_slide(p, slide_id=f"s{i}", pipelined=True)
+        total += time.perf_counter() - t0
         for k, v in r["pipeline_timings"].items():
             agg[k] = agg.get(k, 0.0) + v
-    dt = (time.perf_counter() - t0) / slides
+    dt = total / slides
     breakdown = {k: round(v / slides, 3) for k, v in agg.items()}
     stage_sum = sum(v for k, v in breakdown.items() if k != "total_s")
-    return {"stage": "end_to_end_predict_slide",
+    protocol = ("cold_page_cache(fadvise_dontneed)" if cold and evicted
+                else "cold_requested_but_fadvise_unavailable" if cold
+                else "warm_page_cache")
+    return {"stage": "end_to_end_predict_slide"
+                     + ("" if cold else "_warm"),
             "value": round(3600.0 / dt, 1),
             "unit": f"slides/hour/chip ({width}px on-disk HDF5 slide, "
                     f"≤{max_patches} patches, {extractor}, stain-norm fused)",
+            "cache_protocol": protocol,
             "seconds_per_slide": round(dt, 2),
             "breakdown_s": breakdown,
             "sum_stages_s": round(stage_sum, 3),
@@ -280,7 +311,9 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
 
 STAGES = {"stain": bench_stain, "feat": bench_featurize,
           "featsplit": bench_featsplit, "knn": bench_knn,
-          "train": bench_train, "infer": bench_infer, "e2e": bench_e2e}
+          "train": bench_train, "infer": bench_infer,
+          "e2e": bench_e2e,                                   # cold (headline)
+          "e2e_warm": lambda: bench_e2e(cold=False)}
 
 
 def main():

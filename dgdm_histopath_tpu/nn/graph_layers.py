@@ -162,7 +162,7 @@ class DynamicGraphLayer(nn.Module):
                             param_dtype=self.param_dtype)(x_in)          # [..., N, H, D]
         k = nn.DenseGeneral((heads, head_dim), name="k_proj", dtype=self.dtype,
                             param_dtype=self.param_dtype)(x_in)
-        k_impl = self.gather_impl
+        k_impl = "take" if self.gather_impl == "xla" else self.gather_impl
         if k_impl not in ("onehot", "take"):
             from ..ops.graph import resolve_gather_impl
             k_impl = resolve_gather_impl()   # onehot on accelerators (ADR-0004 add.2)

@@ -98,6 +98,145 @@ def _flash_kernel(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
+def _flash_kernel_packed(q_ref, qpos_ref, k_ref, v_ref, kpos_ref, o_ref,
+                         m_ref, l_ref, acc_ref,
+                         *, scale: float, inv_tau: float,
+                         num_heads: int, head_dim: int):
+    """Packed-heads program: ALL heads ride one 128-lane tile.
+
+    At DGDM geometry (8 heads × head_dim 16 = 128 lanes) the head-major
+    kernel zero-pads each 16-lane head to the full tile — 8× DMA and VMEM
+    waste that made dense win by >20× (ADR-0004). Here q/k/v blocks are
+    [bq, H*D] with no padding; the distance bias is computed ONCE per
+    (q-block, k-block) and shared by every head; per-head online-softmax
+    state lives in lane h of the [bq, 128] m/l scratch.
+    """
+    j = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qpos = qpos_ref[:, 0:2].astype(jnp.float32)               # [bq, 2]
+    kpos = kpos_ref[:, 0:2].astype(jnp.float32)               # [bk, 2]
+    kmask = kpos_ref[:, 2]                                    # [bk] f32 0/1
+    dx = qpos[:, 0:1] - kpos[:, 0:1].T                        # [bq, bk]
+    dy = qpos[:, 1:2] - kpos[:, 1:2].T
+    bias = -jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12)) * inv_tau
+    valid = (kmask[None, :] > 0.5)
+
+    q_all = q_ref[:].astype(jnp.float32) * scale              # [bq, H*D]
+    k_all = k_ref[:].astype(jnp.float32)
+    v_all = v_ref[:].astype(jnp.float32)
+
+    for h in range(num_heads):                                # static unroll
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        scores = jnp.dot(q_all[:, sl], k_all[:, sl].T,
+                         preferred_element_type=jnp.float32) + bias
+        scores = jnp.where(valid, scores, NEG_INF)
+        m_prev = m_ref[:, h:h + 1]
+        l_prev = l_ref[:, h:h + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new) * valid.astype(jnp.float32)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, h:h + 1] = l_prev * alpha + jnp.sum(p, axis=-1,
+                                                     keepdims=True)
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + jnp.dot(
+            p, v_all[:, sl], preferred_element_type=jnp.float32)
+        m_ref[:, h:h + 1] = m_new
+
+    @pl.when(j == num_kb - 1)
+    def _finalize():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            o_ref[:, sl] = (acc_ref[:, sl]
+                            / jnp.maximum(l_ref[:, h:h + 1], 1e-20)
+                            ).astype(o_ref.dtype)
+
+
+def _packed_forward(q4, k4, v4, pos, node_mask, tau: float,
+                    block_q: int, block_k: int, interpret: bool):
+    """q4/k4/v4 [B, N, H, D] with H*D == 128 -> [B, N, H, D]."""
+    b, n, h, d = q4.shape
+    hd = h * d
+    qf = q4.reshape(b, n, hd)
+    kf = k4.reshape(b, n, hd)
+    vf = v4.reshape(b, n, hd)
+    pos_pad = jnp.concatenate(
+        [pos.astype(jnp.float32),
+         node_mask.astype(jnp.float32)[..., None],
+         jnp.zeros((b, n, 125), jnp.float32)], axis=-1)
+    grid = (b, n // block_q, n // block_k)
+    kernel = functools.partial(_flash_kernel_packed,
+                               scale=1.0 / math.sqrt(d), inv_tau=1.0 / tau,
+                               num_heads=h, head_dim=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, hd), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, hd), lambda b_, i, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, hd), lambda b_, i, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, 128), lambda b_, i, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, hd), lambda b_, i, j: (b_, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), q4.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # per-head running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # per-head denom
+            pltpu.VMEM((block_q, hd), jnp.float32),    # packed accumulator
+        ],
+        interpret=interpret,
+    )(qf, pos_pad, kf, vf, pos_pad)
+    return out.reshape(b, n, h, d)
+
+
+def _dense_reference4(q4, k4, v4, pos, node_mask, tau):
+    """Dense path on the [B, N, H, D] layout (packed backward)."""
+    b, n, h, d = q4.shape
+    to_flat = lambda a: a.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    posf = jnp.repeat(pos, h, axis=0)
+    maskf = jnp.repeat(node_mask, h, axis=0)
+    out = _dense_reference(to_flat(q4), to_flat(k4), to_flat(v4),
+                           posf, maskf, tau)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_spatial_packed(q4, k4, v4, pos, node_mask, tau, block_q, block_k,
+                          interpret):
+    return _packed_forward(q4, k4, v4, pos, node_mask, tau, block_q, block_k,
+                           interpret)
+
+
+def _packed_fwd(q4, k4, v4, pos, node_mask, tau, block_q, block_k, interpret):
+    out = _packed_forward(q4, k4, v4, pos, node_mask, tau, block_q, block_k,
+                          interpret)
+    return out, (q4, k4, v4, pos, node_mask)
+
+
+def _packed_bwd(tau, block_q, block_k, interpret, residuals, g):
+    q4, k4, v4, pos, node_mask = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _dense_reference4(q_, k_, v_, pos,
+                                                          node_mask, tau),
+                     q4, k4, v4)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(pos), None
+
+
+_flash_spatial_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 def _flash_forward(q, k, v, pos, node_mask, tau: float,
                    block_q: int, block_k: int, interpret: bool,
                    scale: Optional[float] = None):
@@ -217,6 +356,12 @@ def flash_spatial_attention(
     d_pad = (-d) % 128
     usable = n % block_q == 0 and n % block_k == 0 and n >= block_q
     use_pallas = usable if force_pallas is None else (force_pallas and usable)
+    if use_pallas and h * d == 128:
+        # packed-heads kernel: all heads share one lane tile, distance bias
+        # computed once per block pair — no head-major flatten, no padding
+        return _flash_spatial_packed(q, k, v, pos.astype(jnp.float32),
+                                     node_mask, tau, block_q, block_k,
+                                     not _on_tpu())
     # head-major flatten: [B*H, N, D]
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)

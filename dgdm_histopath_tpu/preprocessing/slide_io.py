@@ -156,6 +156,45 @@ class PILTiffBackend(SlideBackend):
         self._cache.clear()
 
 
+class TiledTiffBackend(SlideBackend):
+    """Windowed tiled/pyramidal (Big)TIFF reader — the container of most
+    Aperio .svs files — with no OpenSlide/tifffile dependency.
+
+    Decodes only the tiles a region touches (LRU tile cache), so gigapixel
+    level-0 pages never materialize; parses Aperio ImageDescription
+    metadata (AppMag/MPP) into OpenSlide-style properties. Reference
+    surface: ``preprocessing/slide_processor.py:116-146`` (OpenSlide decode).
+    See ``preprocessing/tiff.py`` for the format support matrix.
+    """
+
+    def __init__(self, path: str | Path):
+        from .tiff import TiffFormatError, TiledTiffReader
+        try:
+            self._reader = TiledTiffReader(path)
+        except TiffFormatError as exc:
+            raise SlideProcessingError(str(exc), {"path": str(path)}) from exc
+        self._path = str(path)
+        self.level_dimensions = self._reader.level_dimensions
+        self.level_count = len(self.level_dimensions)
+        w0 = self.level_dimensions[0][0]
+        self.level_downsamples = [w0 / w for (w, h) in self.level_dimensions]
+        self.properties = dict(self._reader.properties)
+
+    def read_region(self, location, level, size):
+        ds = self.level_downsamples[level]
+        x0 = int(location[0] / ds)
+        y0 = int(location[1] / ds)
+        w, h = size
+        return self._reader.read_region_level(level, x0, y0, w, h)
+
+    def clone(self):
+        # independent file handle + tile cache: thread-parallel decode works
+        return TiledTiffBackend(self._path)
+
+    def close(self):
+        self._reader.close()
+
+
 class HDF5SlideBackend(SlideBackend):
     """Chunked-HDF5 pyramidal slide (the framework's gigapixel-scale on-disk
     format: random-access tiled reads, gzip chunks, no 4 GB TIFF limit).
@@ -331,15 +370,25 @@ def open_slide(source) -> SlideBackend:
     suffix = path.suffix.lower()
     if suffix in (".h5", ".hdf5", ".wsi"):
         return HDF5SlideBackend(path)
-    if suffix in (".svs", ".ndpi", ".mrxs") and OPENSLIDE_AVAILABLE:
-        return OpenSlideBackend(path)
-    if suffix in (".tif", ".tiff"):
+    if suffix in (".svs", ".tif", ".tiff", ".ndpi"):
         if OPENSLIDE_AVAILABLE:
             try:
                 return OpenSlideBackend(path)
             except Exception:
                 pass
-        return PILTiffBackend(path)
+        # most .svs/.ndpi are tiled (Big)TIFF underneath: the windowed
+        # native reader handles them without OpenSlide
+        try:
+            return TiledTiffBackend(path)
+        except SlideProcessingError:
+            pass
+        if suffix in (".tif", ".tiff"):
+            return PILTiffBackend(path)
+        raise SlideProcessingError(
+            "cannot decode slide (unsupported TIFF layout and OpenSlide "
+            "unavailable)", {"path": str(path)})
+    if suffix == ".mrxs" and OPENSLIDE_AVAILABLE:
+        return OpenSlideBackend(path)
     if OPENSLIDE_AVAILABLE:
         return OpenSlideBackend(path)
     raise SlideProcessingError(

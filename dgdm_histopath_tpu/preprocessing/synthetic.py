@@ -341,10 +341,15 @@ def write_synthetic_tiff(
     height: int = 2048,
     num_levels: int = 4,
     seed: int = 0,
+    **image_kw,
 ) -> Path:
-    """Write a multi-page pyramidal TIFF fixture via Pillow."""
+    """Write a multi-page pyramidal TIFF fixture via Pillow.
+
+    Extra kwargs (``nuclei_density``, ``num_blobs``) pass through to
+    :func:`generate_tissue_image` — used by ``scripts/eval_camelyon16.py``
+    to synthesize separable "tumor" vs "normal" stand-in classes."""
     from PIL import Image
-    img, _ = generate_tissue_image(width, height, seed=seed)
+    img, _ = generate_tissue_image(width, height, seed=seed, **image_kw)
     levels = build_pyramid(img, num_levels)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,309 @@
+#!/usr/bin/env python
+"""CAMELYON16 accuracy-parity evaluation, staged end to end.
+
+The reference's headline claim is CAMELYON16 metastasis-detection AUC 0.976
+(F1 0.932) for DGDM-Base and AUC 0.984 for DGDM-Large
+(``/root/reference/README.md:270-271``). Reproducing it needs two artifacts
+this environment cannot fetch (zero egress):
+
+  1. **Pretrained DINOv2 backbone weights** — download timm's
+     ``vit_base_patch14_dinov2.lvd142m`` state dict and convert once:
+     ``python scripts/convert_timm_vit.py dinov2_b14.pth dinov2_b14.npz``
+     (torch-forward golden parity is tested in tests/test_vit_conversion.py).
+  2. **The CAMELYON16 dataset** (camelyon17.grand-challenge.org layout):
+     ``<root>/training/normal/normal_*.tif``, ``<root>/training/tumor/
+     tumor_*.tif``, ``<root>/testing/images/test_*.tif`` +
+     ``<root>/testing/reference.csv`` (slide_id,label rows, label in
+     {Normal, Tumor}).
+
+With both present the full loop runs as:
+
+    python scripts/eval_camelyon16.py --data-root /data/camelyon16 \
+        --vit-weights dinov2_b14.npz --out results/c16
+
+Without them, ``--synthetic`` runs the IDENTICAL pipeline (slide discovery →
+tissue detection → patching → featurization → graph build → finetune →
+slide-level AUC/F1 vs the reference table) on generated stand-in slides where
+"tumor" slides carry a higher nuclei density — verifying the harness end to
+end so the parity number is one artifact-drop away:
+
+    python scripts/eval_camelyon16.py --synthetic --out /tmp/c16_staging
+
+Pipeline parity surface: reference ``evaluation/predictor.py:125-186``
+(slide→graph→predict), ``cli/train.py:388-408`` (fit→test),
+``evaluation/metrics.py:52-63`` (AUC).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REFERENCE_TARGETS = {  # /root/reference/README.md:270-271
+    "base": {"auc": 0.976, "f1": 0.932},
+    "large": {"auc": 0.984, "f1": None},
+}
+
+
+def discover_camelyon16(root: Path):
+    """Return (train_items, test_items) of (path, label) with label 1=tumor."""
+    train = []
+    for sub, label in (("normal", 0), ("tumor", 1)):
+        for pat in (f"training/{sub}/*.tif*", f"training/{sub}_*.tif*"):
+            for p in sorted(root.glob(pat)):
+                train.append((p, label))
+    test = []
+    ref_csv = root / "testing" / "reference.csv"
+    labels = {}
+    if ref_csv.exists():
+        with open(ref_csv) as f:
+            for row in csv.reader(f):
+                if len(row) >= 2:
+                    labels[row[0].strip()] = 1 if row[1].strip().lower() in (
+                        "tumor", "1", "metastases") else 0
+    for p in sorted(root.glob("testing/images/*.tif*")):
+        if p.stem in labels:
+            test.append((p, labels[p.stem]))
+    return train, test
+
+
+def generate_synthetic_camelyon16(root: Path, n_per_class: int = 6,
+                                  n_test_per_class: int = 3,
+                                  size: int = 1536) -> None:
+    """Stand-in dataset in the CAMELYON16 directory layout. Tumor slides get
+    ~3x nuclei density — a weak but learnable slide-level signal."""
+    from dgdm_histopath_tpu.preprocessing.synthetic import write_synthetic_tiff
+    rows = []
+    seed = 0
+    for split, n in (("training", n_per_class), ("testing", n_test_per_class)):
+        for label, name, dens in ((0, "normal", 0.0012), (1, "tumor", 0.004)):
+            for i in range(n):
+                seed += 1
+                if split == "training":
+                    p = root / "training" / name / f"{name}_{i:03d}.tiff"
+                else:
+                    p = root / "testing" / "images" / f"test_{label}{i:03d}.tiff"
+                    rows.append((p.stem, "Tumor" if label else "Normal"))
+                if not p.exists():
+                    write_synthetic_tiff(p, width=size, height=size,
+                                         num_levels=3, seed=seed,
+                                         nuclei_density=dens)
+    ref = root / "testing" / "reference.csv"
+    ref.parent.mkdir(parents=True, exist_ok=True)
+    with open(ref, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+
+
+def slide_to_graph(path: Path, label: int, processor, builder, cache_dir: Path,
+                   bucket: int):
+    """Preprocess one slide into a cached PaddedGraph."""
+    from dgdm_histopath_tpu.data.graph_io import load_graph, save_graph
+    cache = cache_dir / f"{path.stem}_b{bucket}.npz"
+    if cache.exists():
+        g = load_graph(cache)
+    else:
+        slide_data = processor.process_slide(str(path), slide_id=path.stem)
+        g = builder.build_graph(slide_data, bucket=bucket)
+        save_graph(g, cache)
+    import jax.numpy as jnp
+    return g.replace(y=jnp.asarray(label, jnp.int32))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--data-root", type=Path, default=None,
+                    help="CAMELYON16 root (training/, testing/)")
+    ap.add_argument("--vit-weights", type=Path, default=None,
+                    help="converted DINOv2 npz (scripts/convert_timm_vit.py)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="generate stand-in slides and run the full loop")
+    ap.add_argument("--out", type=Path, default=Path("c16_eval"))
+    ap.add_argument("--config", choices=("base", "large"), default="base")
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="node bucket (default: 1024 base / 2048 large; "
+                         "synthetic uses 256)")
+    ap.add_argument("--max-patches", type=int, default=None)
+    ap.add_argument("--patch-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--pretrain-epochs", type=int, default=None)
+    ap.add_argument("--finetune-epochs", type=int, default=None)
+    ap.add_argument("--extractor", default=None,
+                    help="patch featurizer arch (default: dinov2; synthetic "
+                         "staging defaults to simple_cnn so the smoke loop "
+                         "stays CI-sized)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (the axon sitecustomize pins the TPU "
+                         "backend; staging runs should not hog the tunnel)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dgdm_histopath_tpu.evaluation.metrics import (
+        compute_classification_metrics,
+    )
+    from dgdm_histopath_tpu.models import DGDMModel
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+    from dgdm_histopath_tpu.ops.graph import batch_graphs
+    from dgdm_histopath_tpu.preprocessing import (
+        SlideProcessor, TissueGraphBuilder,
+    )
+    from dgdm_histopath_tpu.training import DGDMTrainer, TrainerConfig
+
+    t_start = time.time()
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    if args.synthetic:
+        data_root = args.out / "synthetic_data"
+        print(f"[eval_c16] generating synthetic stand-in data at {data_root}")
+        generate_synthetic_camelyon16(data_root)
+        bucket = args.bucket or 256
+        max_patches = args.max_patches or 256
+        pretrain_epochs = 1 if args.pretrain_epochs is None else args.pretrain_epochs
+        finetune_epochs = 30 if args.finetune_epochs is None else args.finetune_epochs
+    else:
+        if args.data_root is None:
+            ap.error("--data-root required without --synthetic")
+        data_root = args.data_root
+        bucket = args.bucket or (2048 if args.config == "large" else 1024)
+        max_patches = args.max_patches or (2000 if args.config == "large" else 1000)
+        pretrain_epochs = 50 if args.pretrain_epochs is None else args.pretrain_epochs
+        finetune_epochs = 50 if args.finetune_epochs is None else args.finetune_epochs
+
+    train_items, test_items = discover_camelyon16(data_root)
+    if not train_items or not test_items:
+        sys.exit(f"no slides found under {data_root} (expected CAMELYON16 "
+                 f"layout: training/normal|tumor, testing/images + "
+                 f"reference.csv)")
+    print(f"[eval_c16] {len(train_items)} training slides, "
+          f"{len(test_items)} test slides")
+
+    # --- featurizer: converted DINOv2 weights when provided --------------
+    arch = args.extractor or ("simple_cnn" if args.synthetic else "dinov2")
+    extractor = PatchFeatureExtractor(arch=arch)
+    weights_loaded = False
+    if args.vit_weights is not None:
+        extractor.load_npz_weights(str(args.vit_weights))
+        weights_loaded = True
+        print(f"[eval_c16] loaded converted ViT weights: {args.vit_weights}")
+    else:
+        print("[eval_c16] WARNING: no --vit-weights; the backbone is "
+              "RANDOM-INIT — the resulting AUC does NOT discharge the "
+              "parity target (see module docstring for the artifact).")
+
+    processor = SlideProcessor(patch_size=args.patch_size,
+                               max_patches=max_patches,
+                               tissue_threshold=0.5)
+    builder = TissueGraphBuilder(extractor=extractor,
+                                 node_buckets=(bucket,))
+
+    cache_dir = args.out / "graph_cache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    print("[eval_c16] preprocessing slides -> graphs "
+          f"(bucket={bucket}, cache={cache_dir})")
+    t0 = time.time()
+    train_graphs = [slide_to_graph(p, y, processor, builder, cache_dir, bucket)
+                    for p, y in train_items]
+    test_graphs = [slide_to_graph(p, y, processor, builder, cache_dir, bucket)
+                   for p, y in test_items]
+    prep_s = time.time() - t0
+    print(f"[eval_c16] preprocessing done in {prep_s:.1f}s "
+          f"({prep_s / max(len(train_graphs) + len(test_graphs), 1):.1f} "
+          f"s/slide)")
+
+    # --- model + finetune -------------------------------------------------
+    if args.config == "large":  # configs/dgdm_large.yaml geometry
+        hidden, heads, steps = (768, 512, 256, 128), 16, 20
+    else:                       # configs/dgdm_base.yaml geometry
+        hidden, heads, steps = (512, 256, 128), 8, 10
+    model = DGDMModel(node_features=extractor.feature_dim,
+                      hidden_dims=hidden, attention_heads=heads,
+                      num_diffusion_steps=steps, graph_layers=4,
+                      num_classes=2, pooling="attention")
+
+    rng = np.random.RandomState(args.seed)
+    order = rng.permutation(len(train_graphs))
+    n_val = max(1, len(order) // 5)
+    val_idx, tr_idx = order[:n_val], order[n_val:]
+
+    def as_batches(graphs, idxs, bs):
+        return [batch_graphs([graphs[i] for i in idxs[j:j + bs]])
+                for j in range(0, len(idxs), bs)]
+
+    train_batches = as_batches(train_graphs, tr_idx, args.batch_size)
+    val_batches = as_batches(train_graphs, val_idx, args.batch_size)
+
+    trainer = DGDMTrainer(model, TrainerConfig(
+        learning_rate=1e-4 if weights_loaded else 1e-3,
+        warmup_steps=min(100, len(train_batches)),
+        max_epochs=pretrain_epochs + finetune_epochs,
+        pretrain_epochs=pretrain_epochs,
+        steps_per_epoch=len(train_batches)), use_mesh=False)
+    import jax.random as jrandom
+    trainer.init_state(jrandom.PRNGKey(args.seed), train_batches[0])
+    print(f"[eval_c16] finetuning {args.config}: {pretrain_epochs} pretrain "
+          f"+ {finetune_epochs} finetune epochs x "
+          f"{len(train_batches)} steps")
+    fit = trainer.fit(train_batches, val_batches,
+                      max_epochs=pretrain_epochs + finetune_epochs,
+                      early_stopping_patience=max(10, finetune_epochs // 3))
+
+    # --- test-set evaluation ---------------------------------------------
+    probs, labels = [], []
+    for j in range(0, len(test_graphs), args.batch_size):
+        chunk = test_graphs[j:j + args.batch_size]
+        batch = batch_graphs(chunk)
+        out = trainer.predict_step(batch, return_attention=False)
+        logits = np.asarray(out["classification_logits"], np.float64)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        probs.append(p / p.sum(-1, keepdims=True))
+        labels.extend(int(g.y) for g in chunk)
+    probs = np.concatenate(probs, axis=0)
+    metrics = compute_classification_metrics(np.asarray(labels), probs)
+
+    target = REFERENCE_TARGETS[args.config]
+    report = {
+        "dataset": "camelyon16-synthetic-standin" if args.synthetic
+                   else "camelyon16",
+        "config": args.config,
+        "extractor": arch,
+        "vit_weights": str(args.vit_weights) if args.vit_weights else None,
+        "backbone_pretrained": weights_loaded,
+        "n_train": len(train_items), "n_test": len(test_items),
+        "bucket": bucket, "max_patches": max_patches,
+        "auc": metrics.get("auc"), "f1": metrics.get("f1"),
+        "accuracy": metrics.get("accuracy"),
+        "reference_target": target,
+        "auc_delta_vs_reference": (None if metrics.get("auc") is None
+                                   else round(metrics["auc"]
+                                              - target["auc"], 4)),
+        "parity_valid": weights_loaded and not args.synthetic,
+        "preprocess_s_per_slide": round(
+            prep_s / max(len(train_graphs) + len(test_graphs), 1), 2),
+        "best_val_loss": fit["best_val_loss"],
+        "wall_s": round(time.time() - t_start, 1),
+        "device": str(jax.devices()[0]),
+    }
+    out_path = args.out / "report.json"
+    out_path.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    print(f"[eval_c16] report -> {out_path}")
+    if not report["parity_valid"]:
+        print("[eval_c16] NOTE: this run does NOT establish reference parity "
+              "(synthetic data and/or random-init backbone). Drop in the two "
+              "artifacts from the module docstring and rerun.")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,7 @@
 """Explicit shard_map+psum SPMD step: parity with the GSPMD jit path."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -231,3 +233,59 @@ class TestNodeSharding:
         trainer.state = restored
         m = trainer.training_step(batch, epoch=1, materialize=True)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestMultiController:
+    """Two real OS processes form one JAX cluster (VERDICT r2 #6): the
+    datamodule's process-sharding defaults, global collectives, and a
+    shared-mesh train step all follow the multi-host contract."""
+
+    def test_two_process_cluster(self, tmp_path):
+        import json
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        # free port for the coordinator
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+
+        worker = str(Path(__file__).parent / "multiproc_worker.py")
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("JAX_NUM_PROCESSES", None)
+        procs = [subprocess.Popen(
+            [_sys.executable, worker, coord, str(i), "2", str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        try:
+            outs = [p.communicate(timeout=540)[0].decode() for p in procs]
+        finally:
+            for p in procs:            # no orphans on timeout/assert
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+        reports = [json.loads((tmp_path / f"proc{i}.json").read_text())
+                   for i in range(2)]
+        # one cluster: 2 processes x 2 devices, psum saw all 4
+        for i, r in enumerate(reports):
+            assert r["process_count"] == 2
+            assert r["process_index"] == i
+            assert r["local_devices"] == 2
+            assert r["global_devices_via_psum"] == 4
+            assert r["num_shards"] == 2 and r["shard_index"] == i
+        # disjoint train shards covering the global split; identical val
+        t0, t1 = (set(r["train_indices"]) for r in reports)
+        assert t0 and t1 and not (t0 & t1)
+        assert reports[0]["val_indices"] == reports[1]["val_indices"]
+        # the shared-mesh step computed ONE global loss, same on every host
+        assert np.isfinite(reports[0]["loss"])
+        assert reports[0]["loss"] == pytest.approx(reports[1]["loss"],
+                                                   rel=1e-5)
