@@ -327,13 +327,20 @@ def main():
                         layers=4, nodes=1024, n_real=1000,
                         batch=headline_batch, n_iters=20)
     base["batch"] = headline_batch
-    if "--large" in sys.argv:
-        large = bench_config("2048node_large", node_features=1024,
-                             hidden_dims=(768, 512, 256, 128), num_steps=20,
-                             heads=16, layers=4, nodes=2048, n_real=2000,
-                             batch=4, n_iters=10)
-        large["batch"] = 4
-        base["large"] = large
+    if "--no-large" not in sys.argv:
+        # DGDM-Large (configs/dgdm_large.yaml geometry) rides along by
+        # default so every bench record carries both configs (VERDICT r2
+        # #4); guarded — a tunnel failure on the second compile must not
+        # lose the Base headline.
+        try:
+            large = bench_config("2048node_large", node_features=1024,
+                                 hidden_dims=(768, 512, 256, 128),
+                                 num_steps=20, heads=16, layers=4,
+                                 nodes=2048, n_real=2000, batch=4, n_iters=10)
+            large["batch"] = 4
+            base["large"] = large
+        except Exception as exc:  # noqa: BLE001
+            base["large"] = {"error": f"{type(exc).__name__}: {str(exc)[:200]}"}
     print(json.dumps(base))
 
 

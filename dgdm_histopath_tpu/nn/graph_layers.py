@@ -239,15 +239,27 @@ class DynamicGraphLayer(nn.Module):
 class AdaptiveGraphPooling(nn.Module):
     """Top-k node pooling by a learned score (reference :250-329).
 
-    XLA-friendly formulation: instead of physically shrinking the graph
-    (dynamic shapes), keep the padded shape and *re-mask*: the top
-    ``ceil(ratio * N)`` real nodes stay, everything else becomes padding.
-    Scores gate the surviving features (straight-through to keep gradients).
-    Returns (x, node_mask, perm_scores) — neighbor structure is unchanged and
-    edges into dropped nodes die via the mask.
+    Two static-shape formulations, selected by ``mode``:
+
+    * ``"mask"`` — keep the padded shape and *re-mask*: the top
+      ``ceil(ratio * N)`` real nodes stay, everything else becomes padding.
+      Returns (x, node_mask, perm_scores); neighbor structure is unchanged
+      and edges into dropped query rows die via the mask.
+    * ``"compact"`` — physically shrink to the STATIC ``keep`` size
+      (``ops.graph.compact_top_k_nodes``): pooled levels run on genuinely
+      smaller tensors, edges into dropped nodes are removed (not just
+      zero-featured), and unpooling scatters back to zeros — matching the
+      reference's rebuild-the-edge-index pooling + unpool-by-scatter
+      semantics exactly, at ~(1+r+r²+…) of full-N cost instead of
+      depth×full-N. Requires the neighbor structures; returns the
+      compacted-graph dict of ``compact_top_k_nodes`` plus ``"score"``.
+
+    Scores gate the surviving features in both modes (straight-through to
+    keep gradients).
     """
 
     ratio: float = 0.5
+    mode: str = "mask"            # mask | compact
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -256,17 +268,28 @@ class AdaptiveGraphPooling(nn.Module):
         self,
         x: jnp.ndarray,          # [..., N, F]
         node_mask: jnp.ndarray,  # [..., N]
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        nbr_idx: Optional[jnp.ndarray] = None,    # compact mode only
+        nbr_mask: Optional[jnp.ndarray] = None,
+        edge_attr: Optional[jnp.ndarray] = None,
+    ):
         n = x.shape[-2]
         keep = max(1, int(round(self.ratio * n)))
         score = nn.Dense(1, name="score", dtype=self.dtype,
                          param_dtype=self.param_dtype)(x)[..., 0]
         score = jnp.tanh(score.astype(jnp.float32))
+        gate = jax.nn.sigmoid(score).astype(x.dtype)[..., None]
+        if self.mode == "compact":
+            if nbr_idx is None or nbr_mask is None:
+                raise ValueError("compact pooling needs nbr_idx/nbr_mask")
+            from ..ops.graph import compact_top_k_nodes
+            c = compact_top_k_nodes(x * gate, nbr_idx, nbr_mask, node_mask,
+                                    score, keep, edge_attr)
+            c["score"] = score
+            return c
         neg = jnp.finfo(jnp.float32).min
         masked_score = jnp.where(node_mask, score, neg)
         kth = jnp.sort(masked_score, axis=-1)[..., n - keep][..., None]
         new_mask = (masked_score >= kth) & node_mask
-        gate = jax.nn.sigmoid(score).astype(x.dtype)[..., None]
         x_out = x * gate * new_mask[..., None].astype(x.dtype)
         return x_out, new_mask, score
 
@@ -275,9 +298,14 @@ class GraphUNet(nn.Module):
     """Encoder/pool/decoder U-Net over graphs with skip connections.
 
     Mirrors the reference's ``GraphUNet`` (:332-457) on the padded layout:
-    each level is a ``DynamicGraphLayer`` + ``AdaptiveGraphPooling``; the
-    decoder re-expands by *unmasking* (padding-preserving analogue of the
-    reference's unpool-by-scatter) and adds the skip connection.
+    each level is a ``DynamicGraphLayer`` + ``AdaptiveGraphPooling``.
+
+    ``compact_pooling=True`` (default) physically shrinks each pooled level
+    to its static top-k size and unpools by scatter — the reference's
+    actual semantics (edges into dropped nodes removed; dropped rows come
+    back as zeros) at ~(1+2r+r²)/(1+2·depth) of the re-masking
+    formulation's compute. ``False`` keeps round-2's full-N re-masking
+    path (same parameter tree — checkpoints are interchangeable).
     """
 
     features: int
@@ -286,6 +314,7 @@ class GraphUNet(nn.Module):
     num_heads: int = 8
     dropout: float = 0.0
     gather_impl: str = "auto"
+    compact_pooling: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -304,35 +333,59 @@ class GraphUNet(nn.Module):
             x = nn.Dense(f, name="in_proj", dtype=self.dtype,
                          param_dtype=self.param_dtype)(x)
 
-        skips = []
-        masks = [node_mask]
-        h = x
-        cur_mask = node_mask
-        for d in range(self.depth):
-            h = DynamicGraphLayer(f, self.num_heads, self.dropout,
-                                  gather_impl=self.gather_impl, name=f"down{d}",
-                                  dtype=self.dtype, param_dtype=self.param_dtype)(
-                h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
-                deterministic=deterministic)
-            skips.append(h)
-            h, cur_mask, _ = AdaptiveGraphPooling(self.pool_ratio, name=f"pool{d}",
-                                                  dtype=self.dtype,
-                                                  param_dtype=self.param_dtype)(h, cur_mask)
-            masks.append(cur_mask)
+        def layer(name):
+            return DynamicGraphLayer(f, self.num_heads, self.dropout,
+                                     gather_impl=self.gather_impl, name=name,
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype)
 
-        h = DynamicGraphLayer(f, self.num_heads, self.dropout,
-                              gather_impl=self.gather_impl, name="bottleneck",
-                              dtype=self.dtype, param_dtype=self.param_dtype)(
-            h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
-            deterministic=deterministic)
+        def pool(name):
+            return AdaptiveGraphPooling(
+                self.pool_ratio,
+                mode="compact" if self.compact_pooling else "mask",
+                name=name, dtype=self.dtype, param_dtype=self.param_dtype)
 
-        for d in reversed(range(self.depth)):
-            up_mask = masks[d]
-            h = h + skips[d]                       # unpool = unmask + skip add
-            h = DynamicGraphLayer(f, self.num_heads, self.dropout,
-                                  gather_impl=self.gather_impl, name=f"up{d}",
-                                  dtype=self.dtype, param_dtype=self.param_dtype)(
-                h, nbr_idx, nbr_mask & up_mask[..., None], edge_attr,
-                deterministic=deterministic)
+        if self.compact_pooling:
+            from ..ops.graph import scatter_nodes
+            h = x
+            idxs, kmask, nodem, ea = nbr_idx, nbr_mask, node_mask, edge_attr
+            skips, levels = [], []
+            for d in range(self.depth):
+                h = layer(f"down{d}")(h, idxs, kmask & nodem[..., None], ea,
+                                      deterministic=deterministic)
+                skips.append(h)
+                levels.append((idxs, kmask, nodem, ea, h.shape[-2]))
+                c = pool(f"pool{d}")(h, nodem, idxs, kmask, ea)
+                h, idxs, kmask = c["x"], c["nbr_idx"], c["nbr_mask"]
+                nodem, ea = c["node_mask"], c["edge_attr"]
+                levels[-1] = levels[-1] + (c["sel_idx"], c["node_mask"])
+            h = layer("bottleneck")(h, idxs, kmask & nodem[..., None], ea,
+                                    deterministic=deterministic)
+            for d in reversed(range(self.depth)):
+                idxs, kmask, nodem, ea, n_d, sel, sel_valid = levels[d]
+                h = scatter_nodes(h, sel, n_d, valid=sel_valid) + skips[d]
+                h = layer(f"up{d}")(h, idxs, kmask & nodem[..., None], ea,
+                                    deterministic=deterministic)
+        else:
+            skips = []
+            masks = [node_mask]
+            h = x
+            cur_mask = node_mask
+            for d in range(self.depth):
+                h = layer(f"down{d}")(h, nbr_idx,
+                                      nbr_mask & cur_mask[..., None],
+                                      edge_attr, deterministic=deterministic)
+                skips.append(h)
+                h, cur_mask, _ = pool(f"pool{d}")(h, cur_mask)
+                masks.append(cur_mask)
+            h = layer("bottleneck")(h, nbr_idx,
+                                    nbr_mask & cur_mask[..., None], edge_attr,
+                                    deterministic=deterministic)
+            for d in reversed(range(self.depth)):
+                up_mask = masks[d]
+                h = h + skips[d]               # unpool = unmask + skip add
+                h = layer(f"up{d}")(h, nbr_idx,
+                                    nbr_mask & up_mask[..., None], edge_attr,
+                                    deterministic=deterministic)
         out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="out_norm")(h + x)
         return out * node_mask[..., None].astype(out.dtype)

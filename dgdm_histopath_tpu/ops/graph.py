@@ -169,6 +169,93 @@ def symmetric_norm(nbr_idx: jnp.ndarray, nbr_mask: jnp.ndarray) -> Tuple[jnp.nda
     return edge_norm, self_norm
 
 
+def compact_top_k_nodes(
+    x: jnp.ndarray,          # [..., N, F]
+    nbr_idx: jnp.ndarray,    # [..., N, K]
+    nbr_mask: jnp.ndarray,   # [..., N, K]
+    node_mask: jnp.ndarray,  # [..., N]
+    score: jnp.ndarray,      # [..., N] f32, higher = keep
+    keep: int,
+    edge_attr: Optional[jnp.ndarray] = None,   # [..., N, K, E]
+):
+    """Physically shrink a padded graph to its top-``keep`` nodes.
+
+    The static output size (``keep = ceil(ratio*N)``) is what lets pooled
+    U-Net levels run on genuinely smaller tensors instead of re-masked
+    full-size ones (reference ``AdaptiveGraphPooling`` rebuilds the edge
+    index over the surviving nodes, ``core/graph_layers.py:250-329``; the
+    round-2 re-masking formulation paid full-N compute at every level AND
+    deviated from the reference's unpool-by-scatter: dropped rows leaked
+    bias-propagated values instead of zeros).
+
+    Returns dict with compacted ``x, nbr_idx, nbr_mask, node_mask,
+    edge_attr`` and ``sel_idx [..., keep]`` (original node ids, for
+    :func:`scatter_nodes` unpooling). Padding/dropped slots select node 0
+    with ``node_mask`` False.
+    """
+    n = x.shape[-2]
+    k = nbr_idx.shape[-1]
+    neg = jnp.finfo(jnp.float32).min
+    masked_score = jnp.where(node_mask, score.astype(jnp.float32), neg)
+    # take the top-keep by score; argsort is descending via negation
+    sel_idx = jnp.argsort(-masked_score, axis=-1)[..., :keep]     # [..., keep]
+    sel_valid = jnp.take_along_axis(node_mask, sel_idx, axis=-1)  # [..., keep]
+
+    # one-hot selection matrix [.., keep, N]: every ROW gather below rides
+    # the MXU as a matmul — the naive take_along_axis formulation of this
+    # function measured a 2x whole-step regression on the axon backend
+    # (XLA vector gathers execute ~60x slower there, ADR-0004 addendum 2/5)
+    onehot = sel_idx[..., :, None] == jnp.arange(n)               # [.., keep, N]
+    sel_f32 = onehot.astype(jnp.float32)
+
+    # inverse map: orig id -> compact slot (or `keep` when dropped)
+    slot = jnp.arange(keep, dtype=jnp.int32)[..., :, None]
+    inv = jnp.sum(jnp.where(onehot, slot, 0), axis=-2).astype(jnp.int32)
+    in_sel = jnp.any(onehot, axis=-2)                             # [.., N]
+    inv = jnp.where(in_sel, inv, keep)                            # sentinel
+
+    # neighbor rows of surviving nodes (exact small-int matmuls), then ids
+    # remapped through inv via a scalar flat gather (the [.., keep*K] class
+    # of gather the fast step already uses in symmetric_norm)
+    nbr_rows = jnp.einsum("...sn,...nk->...sk", sel_f32,
+                          nbr_idx.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(jnp.int32)                     # [.., keep, K]
+    mask_rows = jnp.einsum("...sn,...nk->...sk", sel_f32,
+                           nbr_mask.astype(jnp.float32)) > 0.5
+    batch = nbr_rows.shape[:-2]
+    new_ids = jnp.take_along_axis(
+        inv, nbr_rows.reshape(*batch, keep * k), axis=-1
+    ).reshape(*batch, keep, k)                                    # [.., keep, K]
+    survives = new_ids < keep
+    new_mask = mask_rows & survives & sel_valid[..., None]
+    new_ids = jnp.where(new_mask, new_ids, 0)
+
+    x_c = jnp.einsum("...sn,...nf->...sf", sel_f32.astype(x.dtype), x)
+    x_c = x_c * sel_valid[..., None].astype(x.dtype)
+    out = {
+        "x": x_c, "nbr_idx": new_ids, "nbr_mask": new_mask,
+        "node_mask": sel_valid, "sel_idx": sel_idx, "edge_attr": None,
+    }
+    if edge_attr is not None:
+        ea_rows = jnp.einsum("...sn,...nke->...ske",
+                             sel_f32.astype(edge_attr.dtype), edge_attr)
+        out["edge_attr"] = ea_rows * new_mask[..., None].astype(ea_rows.dtype)
+    return out
+
+
+def scatter_nodes(h_small: jnp.ndarray, sel_idx: jnp.ndarray, n: int,
+                  valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Unpool: place compacted rows back at their original slots (zeros
+    elsewhere) — the reference's unpool-by-scatter (`core/graph_layers.py`
+    GraphUNet) as a one-hot MXU matmul. h_small [..., keep, F],
+    sel_idx [..., keep] -> [..., n, F]."""
+    onehot = (sel_idx[..., :, None] == jnp.arange(n)).astype(h_small.dtype)
+    if valid is not None:
+        onehot = onehot * valid[..., None].astype(h_small.dtype)
+    return jnp.einsum("...kn,...kf->...nf", onehot, h_small)
+
+
 def masked_global_mean(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over real nodes: x [N, F], mask [N] -> [F]."""
     m = node_mask.astype(x.dtype)[..., None]

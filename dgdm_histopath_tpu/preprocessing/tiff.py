@@ -285,30 +285,36 @@ def _lzw_encode(data: bytes) -> bytes:
             out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
             bitcnt -= 8
 
-    table = {bytes([i]): i for i in range(256)}
+    # (prefix_code, byte) table — O(1) per input byte (a bytes-concat key
+    # turns constant runs, e.g. tile padding, quadratic)
+    table: Dict[Tuple[int, int], int] = {}
     next_code = 258
     width = 9
     emit(CLEAR, width)
-    w = b""
+    w = -1
     for byte in data:
-        c = bytes([byte])
-        if w + c in table:
-            w = w + c
+        if w < 0:
+            w = byte
             continue
-        emit(table[w], width)
-        table[w + c] = next_code
+        key = (w, byte)
+        code = table.get(key)
+        if code is not None:
+            w = code
+            continue
+        emit(w, width)
+        table[key] = next_code
         next_code += 1
         if next_code + 1 > (1 << width):
             if width < 12:
                 width += 1
             else:
                 emit(CLEAR, width)
-                table = {bytes([i]): i for i in range(256)}
+                table = {}
                 next_code = 258
                 width = 9
-        w = c
-    if w:
-        emit(table[w], width)
+        w = byte
+    if w >= 0:
+        emit(w, width)
     emit(EOI, width)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)

@@ -374,3 +374,97 @@ class TestReassociatedEdgeMath:
         ob = lb.apply(params, x, idx, mask, ea)
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestCompactPooling:
+    """Compact (physically-shrinking) GraphUNet pooling (ops/graph.py
+    compact_top_k_nodes + scatter_nodes) vs the round-2 re-masking path."""
+
+    def test_compact_matches_mask_at_ratio_one(self):
+        """ratio=1.0 keeps every node: the compact path is then a pure
+        relabeling and must match the masked path numerically."""
+        g = small_batch(feat_dim=16)
+        kw = dict(features=16, depth=2, num_heads=4, pool_ratio=1.0,
+                  dtype=jnp.float32)
+        a = GraphUNet(compact_pooling=True, **kw)
+        b = GraphUNet(compact_pooling=False, **kw)
+        params = a.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                        g.node_mask, g.edge_attr)
+        oa = a.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask, g.edge_attr)
+        ob = b.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask, g.edge_attr)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_compact_shapes_and_padding_zero(self):
+        g = small_batch(feat_dim=16)
+        unet = GraphUNet(features=16, depth=2, num_heads=4,
+                         compact_pooling=True, dtype=jnp.float32)
+        params = unet.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                           g.node_mask, g.edge_attr)
+        out = unet.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask,
+                         g.edge_attr)
+        assert out.shape == g.x.shape
+        assert float(jnp.abs(out * ~g.node_mask[..., None]).max()) == 0.0
+
+    def test_compact_padding_invariance(self):
+        """Garbage in padded node slots must not change real-node outputs
+        (repo mask-correctness rule)."""
+        g = small_batch(feat_dim=16)
+        unet = GraphUNet(features=16, depth=2, num_heads=4,
+                         compact_pooling=True, dtype=jnp.float32)
+        params = unet.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                           g.node_mask, g.edge_attr)
+        out1 = unet.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask,
+                          g.edge_attr)
+        x_dirty = g.x + 1e3 * (~g.node_mask[..., None]).astype(g.x.dtype)
+        out2 = unet.apply(params, x_dirty, g.nbr_idx, g.nbr_mask, g.node_mask,
+                          g.edge_attr)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-5)
+
+    def test_compact_gradients_flow(self):
+        g = small_batch(feat_dim=16)
+        unet = GraphUNet(features=16, depth=1, num_heads=4,
+                         compact_pooling=True, dtype=jnp.float32)
+        params = unet.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                           g.node_mask, g.edge_attr)
+
+        def loss(p):
+            o = unet.apply(p, g.x, g.nbr_idx, g.nbr_mask, g.node_mask,
+                           g.edge_attr)
+            return jnp.sum(o ** 2)
+
+        grads = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(l).sum())
+                    for l in jax.tree_util.tree_leaves(grads))
+        assert np.isfinite(total) and total > 0
+
+    def test_compact_top_k_nodes_semantics(self):
+        """Hand-checked selection: top-2 of 4 nodes by score, neighbor ids
+        remapped, edges into dropped nodes removed."""
+        from dgdm_histopath_tpu.ops.graph import (
+            compact_top_k_nodes, scatter_nodes,
+        )
+        x = jnp.asarray(np.arange(8, dtype=np.float32).reshape(1, 4, 2))
+        nbr_idx = jnp.asarray([[[1, 2], [0, 3], [3, 0], [2, 1]]], jnp.int32)
+        nbr_mask = jnp.ones((1, 4, 2), bool)
+        node_mask = jnp.asarray([[True, True, True, False]])
+        score = jnp.asarray([[0.9, 0.1, 0.5, 0.99]], jnp.float32)  # node 3 invalid
+        c = compact_top_k_nodes(x, nbr_idx, nbr_mask, node_mask, score, 2)
+        # kept: node 0 (0.9) then node 2 (0.5)
+        np.testing.assert_array_equal(np.asarray(c["sel_idx"]), [[0, 2]])
+        assert np.asarray(c["node_mask"]).tolist() == [[True, True]]
+        np.testing.assert_array_equal(np.asarray(c["x"])[0, 0], [0.0, 1.0])
+        np.testing.assert_array_equal(np.asarray(c["x"])[0, 1], [4.0, 5.0])
+        # node 0's neighbors were (1, 2): 1 dropped, 2 -> slot 1
+        assert np.asarray(c["nbr_mask"])[0, 0].tolist() == [False, True]
+        assert int(np.asarray(c["nbr_idx"])[0, 0, 1]) == 1
+        # node 2's neighbors were (3, 0): 3 dropped, 0 -> slot 0
+        assert np.asarray(c["nbr_mask"])[0, 1].tolist() == [False, True]
+        assert int(np.asarray(c["nbr_idx"])[0, 1, 1]) == 0
+        # unpool scatters back to original slots
+        up = scatter_nodes(c["x"], c["sel_idx"], 4, valid=c["node_mask"])
+        np.testing.assert_array_equal(np.asarray(up)[0, 0], [0.0, 1.0])
+        np.testing.assert_array_equal(np.asarray(up)[0, 2], [4.0, 5.0])
+        assert float(jnp.abs(up[0, 1]).max()) == 0.0
+        assert float(jnp.abs(up[0, 3]).max()) == 0.0

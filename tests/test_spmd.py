@@ -65,6 +65,7 @@ class TestShardMapStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
 
+    @pytest.mark.slow
     def test_multiple_steps_converge(self):
         mesh = make_mesh(axes=("data",))
         batch = labeled_batch(8)
@@ -240,6 +241,7 @@ class TestMultiController:
     datamodule's process-sharding defaults, global collectives, and a
     shared-mesh train step all follow the multi-host contract."""
 
+    @pytest.mark.slow           # ~90s solo: 2x jax startup + distributed init
     def test_two_process_cluster(self, tmp_path):
         import json
         import os

@@ -33,7 +33,7 @@ class TestLZW:
     def test_roundtrip_long_forces_width_growth(self):
         # >4k distinct phrases forces 9->12 bit codes and a table reset
         rs = np.random.RandomState(1)
-        data = rs.randint(0, 255, 120000, np.uint8).tobytes()
+        data = rs.randint(0, 255, 40000, np.uint8).tobytes()
         assert _lzw_decode(_lzw_encode(data)) == data
 
 
@@ -41,8 +41,15 @@ class TestTiffRoundtrip:
     @pytest.mark.parametrize("compression", ["raw", "deflate", "lzw"])
     @pytest.mark.parametrize("bigtiff", [False, True])
     def test_lossless_pyramid_roundtrip(self, tmp_path, compression, bigtiff):
-        levels = _pyramid()
-        p = write_tiled_tiff(tmp_path / "t.tiff", levels, tile=256,
+        # the pure-python LZW codec runs ~85 KB/s — keep its fixture to a
+        # couple of 128px tiles (boundary still crossed) or this runs minutes
+        if compression == "lzw":
+            levels = _pyramid(w=160, h=120, levels=2)
+            tile = 128
+        else:
+            levels = _pyramid()
+            tile = 256
+        p = write_tiled_tiff(tmp_path / "t.tiff", levels, tile=tile,
                              compression=compression, bigtiff=bigtiff)
         r = TiledTiffReader(p)
         assert r.level_dimensions == [(lvl.shape[1], lvl.shape[0])

@@ -345,8 +345,7 @@ class TestAsyncCheckpoint:
             mgr = CheckpointManager(d, save_top_k=2)
             mgr.save(trainer.state, step=0, metric=1.0)
             # "training continues" while the save drains: mutate the live state
-            for _ in range(3):
-                trainer.training_step(batch, epoch=0)
+            trainer.training_step(batch, epoch=0)
             mgr.wait_until_finished()
             restored = mgr.restore(trainer.state, step=0)
             for a, b in zip(jax.tree_util.tree_leaves(snapshot),
