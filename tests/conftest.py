@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is dominated by CPU jit compiles (~20-45 s tests are one-compile
+# tests). The persistent compilation cache keys on the optimized HLO hash, so
+# re-runs and unrelated-code iterations hit the cache instead of recompiling.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
