@@ -135,7 +135,8 @@ def matmul_flops_from_hlo(compiled) -> float | None:
 
 
 def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
-                 nodes, n_real, batch, n_iters=30):
+                 nodes, n_real, batch, n_iters=30,
+                 use_spatial=True, use_hier=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -163,7 +164,8 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
         node_features=node_features, hidden_dims=hidden_dims,
         num_diffusion_steps=num_steps, attention_heads=heads,
         graph_layers=layers, num_classes=2,
-        use_spatial_attention=True, use_hierarchical=True, pooling="attention",
+        use_spatial_attention=use_spatial, use_hierarchical=use_hier,
+        pooling="attention",
     )
     batch_g = batch_graphs([make_graph(i) for i in range(batch)])
     trainer = DGDMTrainer(
@@ -209,7 +211,7 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
             node_features=node_features, hidden_dims=hidden_dims,
             num_diffusion_steps=num_steps, attention_heads=heads,
             graph_layers=layers, num_classes=2,
-            use_spatial_attention=True, use_hierarchical=True,
+            use_spatial_attention=use_spatial, use_hierarchical=use_hier,
             pooling="attention", gather_impl="xla",
         )
         trainer_xla = DGDMTrainer(
@@ -317,6 +319,23 @@ def main():
             print(json.dumps(r), file=sys.stderr)
         best = max(results, key=lambda r: r["value"])
         print(json.dumps(best))
+        return
+    if "--ablate" in sys.argv:
+        # component split of the Base step (fetch-synced; each row is its
+        # own compile): full vs no-spatial vs no-hierarchical
+        rows = []
+        for tag, sp, hi in (("full", True, True), ("no_spatial", False, True),
+                            ("no_unet", True, False),
+                            ("encoder_only", False, False)):
+            r = bench_config(f"ablate_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, use_spatial=sp,
+                             use_hier=hi)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"]})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ablation_base_b32", "rows": rows}))
         return
     # batch 32 saturates the chip (sweep: 1561 g/s @b4 -> 11493 g/s @b32;
     # step time 2.56 -> 2.78 ms — the b4 step was overhead-bound);
