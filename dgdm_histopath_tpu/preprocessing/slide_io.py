@@ -30,6 +30,26 @@ except ImportError:
     OPENSLIDE_AVAILABLE = False
 
 
+def _advise_readahead(path) -> None:
+    """Kick off whole-file kernel readahead (POSIX_FADV_WILLNEED).
+
+    Slide access is a raster of small random chunk reads; on a cold page
+    cache those serialize at seek latency. WILLNEED is asynchronous and
+    advisory — the kernel streams the file at sequential bandwidth in the
+    background while the reader's random reads hit already-cached pages.
+    Cold-cache e2e decode is the critical path (bench_suite e2e: 6.6 s of
+    9.4 s/slide), so this is the cheapest lever on the headline metric."""
+    import os
+    try:
+        fd = os.open(str(path), os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_WILLNEED)
+        finally:
+            os.close(fd)
+    except (AttributeError, OSError):
+        pass
+
+
 class SlideBackend:
     """Common pyramid-reader interface (OpenSlide coordinate semantics)."""
 
@@ -210,6 +230,7 @@ class HDF5SlideBackend(SlideBackend):
     def __init__(self, path: str | Path):
         import h5py
         self._path = str(path)
+        _advise_readahead(path)
         # raster-order patch reads revisit chunks: size the chunk cache to
         # hold a row of decompressed chunks (h5py default 1 MB thrashes)
         self._f = h5py.File(str(path), "r", rdcc_nbytes=128 * 2 ** 20,

@@ -412,6 +412,8 @@ class TiledTiffReader:
 
     def __init__(self, path: str | Path, cache_tiles: int = 256):
         self._path = str(path)
+        from .slide_io import _advise_readahead
+        _advise_readahead(path)
         self._f = open(self._path, "rb")
         all_pages = parse_tiff_pages(self._f)
         if not all_pages:
