@@ -229,8 +229,16 @@ class HDF5SlideBackend(SlideBackend):
 
     def __init__(self, path: str | Path):
         import h5py
+        from .. import native as _native
         self._path = str(path)
-        _advise_readahead(path)
+        self._native_ok = _native.available()
+        if not self._native_ok:
+            # h5py path only: stream the whole file behind the random reads.
+            # The native reader instead issues targeted WILLNEED on exactly
+            # the chunk ranges each batch touches (dgdm_io.cpp), so cold
+            # reads pull only the bytes the tissue-gated patches need.
+            _advise_readahead(path)
+        self._chunk_index: Dict[int, object] = {}
         # raster-order patch reads revisit chunks: size the chunk cache to
         # hold a row of decompressed chunks (h5py default 1 MB thrashes)
         self._f = h5py.File(str(path), "r", rdcc_nbytes=128 * 2 ** 20,
@@ -255,12 +263,30 @@ class HDF5SlideBackend(SlideBackend):
         import json as _json
         self.properties = _json.loads(self._f.attrs.get("properties", "{}"))
 
+    def _native_index(self, level):
+        """ChunkIndex for a level (None when the dataset is ineligible or
+        the native library is unavailable) — built once, then every region
+        read is a direct pread + assemble in C, no h5py machinery."""
+        if not self._native_ok:
+            return None
+        if level not in self._chunk_index:
+            from .. import native as _native
+            self._chunk_index[level] = _native.ChunkIndex.from_dataset(
+                self._levels[level])
+        return self._chunk_index[level]
+
     def read_region(self, location, level, size):
         ds = self.level_downsamples[level]
         arr = self._levels[level]
         x0 = int(location[0] / ds)
         y0 = int(location[1] / ds)
         w, h = size
+        idx = self._native_index(level)
+        if idx is not None:
+            try:
+                return idx.read_patches(self._path, [y0], [x0], h, w)[0]
+            except RuntimeError:
+                self._native_ok = False   # fall back for good on this handle
         out = np.full((h, w, 3), 255, np.uint8)
         y1 = min(y0 + h, arr.shape[0])
         x1 = min(x0 + w, arr.shape[1])
@@ -278,8 +304,20 @@ class HDF5SlideBackend(SlideBackend):
         """Banded batch read: grid patches sharing a row are served from ONE
         horizontal strip read, so each gzip chunk is decompressed exactly
         once instead of once per overlapping patch (4× read amplification
-        at 256px patches over 512px chunks)."""
+        at 256px patches over 512px chunks). When the native reader is
+        available the whole batch is ONE C call: chunk-major pread +
+        decompress + window assembly with targeted readahead
+        (``native/dgdm_io.cpp``)."""
         ds = self.level_downsamples[level]
+        idx = self._native_index(level)
+        if idx is not None:
+            w, h = size
+            ys = [int(loc[1] / ds) for loc in locations]
+            xs = [int(loc[0] / ds) for loc in locations]
+            try:
+                return idx.read_patches(self._path, ys, xs, h, w)
+            except RuntimeError:
+                self._native_ok = False
         arr = self._levels[level]
         w, h = size
         n = len(locations)
@@ -348,7 +386,9 @@ def write_hdf5_slide(path: str | Path, levels: Sequence[np.ndarray],
             ch = (min(tile, lvl.shape[0]), min(tile, lvl.shape[1]), 3)
             f.create_dataset(f"level_{i}", data=lvl, chunks=ch,
                              compression=compression,
-                             compression_opts=compression_opts)
+                             compression_opts=(compression_opts
+                                               if compression == "gzip"
+                                               else None))
     return path
 
 

@@ -1,0 +1,150 @@
+"""Native direct-chunk HDF5 reader (native/dgdm_io.cpp) vs the h5py path.
+
+The native reader must be byte-identical to h5py slicing for every
+compression the dgdm_wsi writer emits (raw / gzip / lzf), including
+out-of-bounds and chunk-straddling windows — it replaces the h5py read
+machinery on the e2e decode hot path, so any divergence is silent data
+corruption in the pipeline.
+"""
+
+import numpy as np
+import pytest
+
+import dgdm_histopath_tpu.native as native
+from dgdm_histopath_tpu.preprocessing.slide_io import (
+    HDF5SlideBackend, open_slide, write_hdf5_slide,
+)
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native IO library unavailable (no g++?)")
+
+
+def _pyramid(rng, w0=1537, h0=1211, levels=3):
+    lvls = []
+    w, h = w0, h0
+    for _ in range(levels):
+        lvls.append(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        w, h = max(1, w // 4), max(1, h // 4)
+    return lvls
+
+
+@pytest.fixture(scope="module", params=[None, "gzip", "lzf"])
+def slide_path(request, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    path = tmp_path_factory.mktemp("nio") / f"s_{request.param}.h5"
+    write_hdf5_slide(path, _pyramid(rng), properties={"objective-power": "40"},
+                     tile=256, compression=request.param)
+    return path
+
+
+def _h5py_read(path, level, y0, x0, h, w):
+    import h5py
+    with h5py.File(path, "r") as f:
+        arr = f[f"level_{level}"]
+        out = np.full((h, w, 3), 255, np.uint8)
+        y1, x1 = min(y0 + h, arr.shape[0]), min(x0 + w, arr.shape[1])
+        ys, xs = max(y0, 0), max(x0, 0)
+        if y1 > ys and x1 > xs:
+            out[ys - y0:y1 - y0, xs - x0:x1 - x0] = arr[ys:y1, xs:x1]
+        return out
+
+
+class TestNativeReader:
+    def test_interior_and_chunk_straddling(self, slide_path):
+        b = HDF5SlideBackend(slide_path)
+        assert b._native_ok, "native path should be active"
+        for (y0, x0) in [(0, 0), (100, 100), (255, 255), (256, 256),
+                         (250, 700), (511, 1), (1000, 1400)]:
+            got = b.read_region((x0, y0), 0, (128, 96))   # (w=128, h=96)
+            want = _h5py_read(slide_path, 0, y0, x0, 96, 128)
+            np.testing.assert_array_equal(got, want)
+        b.close()
+
+    def test_out_of_bounds_fill(self, slide_path):
+        b = HDF5SlideBackend(slide_path)
+        got = b.read_region((-50, -30), 0, (100, 100))
+        want = _h5py_read(slide_path, 0, -30, -50, 100, 100)
+        np.testing.assert_array_equal(got, want)
+        # fully outside: all fill
+        got = b.read_region((10**6, 10**6), 0, (64, 64))
+        assert (got == 255).all()
+        # straddling the bottom-right corner
+        w0, h0 = b.level_dimensions[0]
+        got = b.read_region((w0 - 40, h0 - 20), 0, (64, 64))
+        want = _h5py_read(slide_path, 0, h0 - 20, w0 - 40, 64, 64)
+        np.testing.assert_array_equal(got, want)
+        b.close()
+
+    def test_batched_matches_h5py_fallback(self, slide_path, monkeypatch):
+        rng = np.random.default_rng(3)
+        locs = [(int(x), int(y)) for x, y in
+                zip(rng.integers(-64, 1600, 40), rng.integers(-64, 1300, 40))]
+        b = HDF5SlideBackend(slide_path)
+        got = b.read_regions(locs, 0, (128, 128))
+        b.close()
+        monkeypatch.setenv("DGDM_NATIVE_IO", "0")
+        b2 = HDF5SlideBackend(slide_path)
+        assert not b2._native_ok
+        want = b2.read_regions(locs, 0, (128, 128))
+        b2.close()
+        np.testing.assert_array_equal(got, want)
+
+    def test_higher_levels_and_level0_coords(self, slide_path):
+        b = HDF5SlideBackend(slide_path)
+        ds = b.level_downsamples[1]
+        got = b.read_region((512, 256), 1, (96, 96))
+        want = _h5py_read(slide_path, 1, int(256 / ds), int(512 / ds), 96, 96)
+        np.testing.assert_array_equal(got, want)
+        b.close()
+
+    def test_thumbnail_through_native(self, slide_path):
+        b = open_slide(slide_path)
+        thumb = b.get_thumbnail(max_size=128)
+        assert thumb.ndim == 3 and thumb.shape[2] == 3
+        assert thumb.std() > 0       # actual pixel content, not fill
+        b.close()
+
+
+class TestChunkIndexEligibility:
+    def test_non_uint8_rejected(self, tmp_path):
+        import h5py
+        p = tmp_path / "f32.h5"
+        with h5py.File(p, "w") as f:
+            d = f.create_dataset("d", data=np.zeros((64, 64, 3), np.float32),
+                                 chunks=(32, 32, 3))
+        with h5py.File(p, "r") as f:
+            assert native.ChunkIndex.from_dataset(f["d"]) is None
+
+    def test_shuffle_rejected(self, tmp_path):
+        import h5py
+        p = tmp_path / "shuf.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("d", data=np.zeros((64, 64, 3), np.uint8),
+                             chunks=(32, 32, 3), compression="gzip",
+                             shuffle=True)
+        with h5py.File(p, "r") as f:
+            assert native.ChunkIndex.from_dataset(f["d"]) is None
+
+    def test_contiguous_rejected(self, tmp_path):
+        import h5py
+        p = tmp_path / "cont.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("d", data=np.zeros((64, 64, 3), np.uint8))
+        with h5py.File(p, "r") as f:
+            assert native.ChunkIndex.from_dataset(f["d"]) is None
+
+    def test_unallocated_chunks_read_fill_zero(self, tmp_path):
+        import h5py
+        p = tmp_path / "sparse.h5"
+        with h5py.File(p, "w") as f:
+            d = f.create_dataset("d", shape=(512, 512, 3), dtype=np.uint8,
+                                 chunks=(256, 256, 3))
+            d[:256, :256] = 7        # only one of four chunks allocated
+        with h5py.File(p, "r") as f:
+            idx = native.ChunkIndex.from_dataset(f["d"])
+            assert idx is not None
+            got = idx.read_patches(str(p), [200, 300], [200, 300], 128, 128)
+        assert (got[0][:56, :56] == 7).all()      # allocated region
+        assert (got[0][56:, 56:] == 0).all()      # HDF5 default fill
+        assert (got[1] == 0).all()                # fully unallocated chunk
