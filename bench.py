@@ -136,7 +136,7 @@ def matmul_flops_from_hlo(compiled) -> float | None:
 
 def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
                  nodes, n_real, batch, n_iters=30,
-                 use_spatial=True, use_hier=True):
+                 use_spatial=True, use_hier=True, **model_overrides):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -165,7 +165,7 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
         num_diffusion_steps=num_steps, attention_heads=heads,
         graph_layers=layers, num_classes=2,
         use_spatial_attention=use_spatial, use_hierarchical=use_hier,
-        pooling="attention",
+        pooling="attention", **model_overrides,
     )
     batch_g = batch_graphs([make_graph(i) for i in range(batch)])
     trainer = DGDMTrainer(
@@ -212,7 +212,7 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
             num_diffusion_steps=num_steps, attention_heads=heads,
             graph_layers=layers, num_classes=2,
             use_spatial_attention=use_spatial, use_hierarchical=use_hier,
-            pooling="attention", gather_impl="xla",
+            pooling="attention", **{**model_overrides, "gather_impl": "xla"},
         )
         trainer_xla = DGDMTrainer(
             model_xla,
@@ -319,6 +319,22 @@ def main():
             print(json.dumps(r), file=sys.stderr)
         best = max(results, key=lambda r: r["value"])
         print(json.dumps(best))
+        return
+    if "--ab-attn-traffic" in sys.argv:
+        # whole-program A/B of spatial attention's HBM-buffer dtype: f32
+        # (strict) vs bf16 (halves the bandwidth-bound [B,H,N,N] traffic).
+        # ADR lesson: only whole-step measurements count.
+        rows = []
+        for tag, td in (("f32_traffic", None), ("bf16_traffic", "bfloat16")):
+            r = bench_config(f"attn_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20,
+                             attention_traffic_dtype=td)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"]})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_attn_traffic_base_b32", "rows": rows}))
         return
     if "--ablate" in sys.argv:
         # component split of the Base step (fetch-synced; each row is its

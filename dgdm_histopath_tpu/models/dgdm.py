@@ -67,6 +67,10 @@ class DGDMModel(nn.Module):
     gather_impl: str = "auto"  # auto | onehot | xla(take) | pallas
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # storage dtype of spatial attention's [B,H,N,N] logits/weights HBM
+    # buffers ("bfloat16" halves the bandwidth-bound dense-attention cost;
+    # softmax math stays f32 — see nn.attention). None = f32 buffers.
+    attention_traffic_dtype: Optional[str] = "bfloat16"
 
     def _validate(self) -> None:
         # mirrors reference _validate_configuration (:192-242)
@@ -80,6 +84,10 @@ class DGDMModel(nn.Module):
             raise ConfigurationError("dropout must be in [0, 1)")
         if self.diffusion_schedule not in ("linear", "cosine", "sigmoid"):
             raise ConfigurationError("invalid diffusion_schedule")
+        if self.attention_traffic_dtype not in (None, "bfloat16", "float32",
+                                                "float16"):
+            raise ConfigurationError(
+                "attention_traffic_dtype must be None|bfloat16|float16|float32")
 
     def setup(self):
         self._validate()
@@ -100,7 +108,9 @@ class DGDMModel(nn.Module):
         if self.use_spatial_attention:
             self.spatial_attention = SpatialAttention(
                 embed_dim=hidden, num_heads=self.attention_heads,
-                dropout=self.dropout, dtype=dtype, param_dtype=pdtype)
+                dropout=self.dropout, dtype=dtype, param_dtype=pdtype,
+                traffic_dtype=(None if self.attention_traffic_dtype is None
+                               else _as_dtype(self.attention_traffic_dtype)))
         if self.use_hierarchical:
             self.graph_unet = GraphUNet(
                 features=hidden, depth=2, num_heads=self.attention_heads,

@@ -31,15 +31,30 @@ def scaled_dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     deterministic: bool = True,
+    traffic_dtype: Optional[Dtype] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked SDPA. q [..., Lq, H, D], k/v [..., Lk, H, D].
 
-    Returns (out [..., Lq, H, D], weights [..., H, Lq, Lk] in f32).
-    Softmax runs in float32 regardless of input dtype.
+    Returns (out [..., Lq, H, D], weights [..., H, Lq, Lk]).
+    Softmax MATH always runs in float32 (max-subtraction, exp, sum inside
+    one XLA fusion). ``traffic_dtype`` controls the STORAGE dtype of the two
+    [.., H, Lq, Lk] HBM materializations (QK^T logits and softmax weights):
+
+      * ``None`` (default) — f32 buffers, the strictest numerics;
+      * ``jnp.bfloat16`` — halves the dominant HBM traffic of dense
+        attention (the buffers are ~HxNxN; at DGDM geometry the pass is
+        bandwidth-bound, not FLOP-bound). The only precision change is one
+        bf16 rounding of the logits and of the weights — softmax internals
+        stay f32 — the same envelope as the reference's Lightning
+        "16-mixed" autocast attention.
     """
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
-    logits = jnp.einsum("...qhd,...khd->...hqk", q, k).astype(jnp.float32) * scale
+    raw = jnp.einsum("...qhd,...khd->...hqk", q, k)
+    if traffic_dtype is not None:
+        raw = raw.astype(traffic_dtype)   # materialized logits buffer dtype
+    # everything below fuses: the upcast rides the consumer fusion's read
+    logits = raw.astype(jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if key_mask is not None:
@@ -53,6 +68,11 @@ def scaled_dot_product_attention(
     if dropout_rate > 0.0 and not deterministic and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = weights * keep / (1.0 - dropout_rate)
+    if traffic_dtype is not None:
+        # the convert is the fusion root -> the weights buffer itself is
+        # stored compressed, and it is also the (smaller) residual the
+        # backward pass saves
+        weights = weights.astype(traffic_dtype)
     out = jnp.einsum("...hqk,...khd->...qhd", weights.astype(v.dtype), v)
     return out, weights
 
@@ -163,6 +183,11 @@ class SpatialAttention(nn.Module):
     flash_auto_min_nodes: int = 1 << 30   # auto-flash disabled by default
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # storage dtype of the [B,H,N,N] logits/weights HBM buffers (softmax
+    # math stays f32); None = f32 buffers. The dense pass is HBM-bound at
+    # DGDM geometry, so bf16 halves its cost — whole-program A/B in
+    # ADR-0004. ``return_weights`` callers (heatmaps) get this dtype.
+    traffic_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -220,7 +245,8 @@ class SpatialAttention(nn.Module):
             ctx, weights = scaled_dot_product_attention(
                 q, k_, v_, bias=bias, key_mask=node_mask,
                 dropout_rng=dropout_rng, dropout_rate=self.dropout,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                traffic_dtype=self.traffic_dtype)
         out = nn.DenseGeneral(
             features=self.embed_dim, axis=(-2, -1), name="out_proj",
             dtype=self.dtype, param_dtype=self.param_dtype)(ctx.astype(self.dtype))

@@ -63,6 +63,8 @@ class ModelConfig:
     neighbors_morphological: int = 16
     compute_dtype: str = "bfloat16"  # matmul dtype on the MXU
     param_dtype: str = "float32"
+    # spatial attention [B,H,N,N] HBM-buffer dtype; softmax math stays f32
+    attention_traffic_dtype: Optional[str] = "bfloat16"
 
 
 @dataclass

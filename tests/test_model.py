@@ -73,6 +73,23 @@ class TestNNBlocks:
         # padded nodes output zero
         assert float(jnp.abs(out[:, 24:]).max()) == 0.0
 
+    def test_spatial_attention_bf16_traffic_close_to_f32(self):
+        """bf16 storage of the [B,H,N,N] logits/weights buffers (the
+        HBM-traffic optimization) must stay numerically close to the f32
+        path: the only deltas are one bf16 rounding of logits and of
+        weights — softmax math itself stays f32."""
+        g = small_batch(feat_dim=16)
+        f32 = SpatialAttention(embed_dim=16, num_heads=4, dtype=jnp.float32)
+        bf = SpatialAttention(embed_dim=16, num_heads=4, dtype=jnp.float32,
+                              traffic_dtype=jnp.bfloat16)
+        params = f32.init(jax.random.PRNGKey(0), g.x, g.pos, g.node_mask)
+        a = f32.apply(params, g.x, g.pos, g.node_mask)
+        b = bf.apply(params, g.x, g.pos, g.node_mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-2, rtol=3e-2)
+        # and the compressed path still masks padded nodes exactly
+        assert float(jnp.abs(b[:, 24:]).max()) == 0.0
+
     def test_graph_unet(self):
         g = small_batch(feat_dim=16)
         unet = GraphUNet(features=16, depth=2, num_heads=4, dtype=jnp.float32)

@@ -167,6 +167,46 @@ class TestConverter:
         finally:
             _ARCHS.pop("_tiny_test", None)
 
+    def test_host_resize_matches_device_resize(self):
+        """host_resize_u8 (PIL antialiased bilinear) must track the device
+        path (jax.image.resize triangle kernel, antialias=True) to ~1 LSB —
+        it substitutes for it when ``host_resize_upload=True`` shrinks the
+        transfer-bound upload."""
+        from dgdm_histopath_tpu.models.vit import host_resize_u8
+        rng = np.random.RandomState(0)
+        batch = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+        host = host_resize_u8(batch, 56).astype(np.float32)
+        dev = np.asarray(jax.image.resize(
+            jnp.asarray(batch, jnp.float32), (2, 56, 56, 3),
+            method="bilinear"))
+        assert np.abs(host - dev).max() <= 2.0
+
+    def test_host_resize_numpy_fallback_matches_device(self):
+        """The no-PIL numpy separable path implements the same antialiased
+        triangle kernel as jax.image.resize."""
+        from dgdm_histopath_tpu.models.vit import _triangle_weight_mat
+        rng = np.random.RandomState(1)
+        batch = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+        w = _triangle_weight_mat(64, 56)
+        x = batch.astype(np.float32)
+        x = np.einsum("nijc,ik->nkjc", x, w, optimize=True)
+        x = np.einsum("nkjc,jm->nkmc", x, w, optimize=True)
+        dev = np.asarray(jax.image.resize(
+            jnp.asarray(batch, jnp.float32), (2, 56, 56, 3),
+            method="bilinear"))
+        np.testing.assert_allclose(x, dev, atol=1e-2)
+
+    def test_extractor_host_resize_upload_pipeline(self):
+        """host_resize_upload=True produces same-shape finite features and
+        uploads the smaller buffer (dispatch resizes before padding)."""
+        from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+        ext = PatchFeatureExtractor(arch="simple_cnn", batch_size=4,
+                                    image_size=32, host_resize_upload=True)
+        feats, real = ext.dispatch(np.random.RandomState(2).randint(
+            0, 255, (3, 48, 48, 3)).astype(np.uint8))
+        assert real == 3 and feats.shape[0] == 4
+        assert np.isfinite(np.asarray(feats)).all()
+
     def test_torch_loader_rejects_pickle_code(self, tmp_path):
         """weights_only load path: a checkpoint with arbitrary objects fails
         instead of executing code."""
