@@ -43,12 +43,10 @@ def main():
     ap.add_argument("--no-stain", dest="stain", action="store_false")
     ap.add_argument("--host-resize", action="store_true",
                     help="resize to 224 on host before upload (cuts upload "
-                         "bytes 23%% on the transfer-bound tunnel; implies "
-                         "--no-stain)")
+                         "bytes 23%% on the transfer-bound tunnel; device "
+                         "stain norm then runs on the resized pixels)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    if args.host_resize:
-        args.stain = False
 
     import jax
     if args.cpu:

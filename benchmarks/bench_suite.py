@@ -309,11 +309,89 @@ def bench_e2e(slides=4, width=24576, patch=256, max_patches=1000,
             "fixture_gen_s": round(gen_s, 1)}
 
 
+def bench_e2e_fleet(slides=4, width=24576, patch=256, max_patches=1000,
+                    extractor="dinov2", cache_dir="benchmarks/.slides",
+                    host_resize=False):
+    """Cold multi-slide throughput through ``predict_slides``: DISTINCT
+    slides, all evicted from the page cache up front, processed as one
+    fleet so the one-ahead open/readahead (predictor.predict_slides) can
+    hide slide i+1's disk reads behind slide i's device time. Compare
+    against ``e2e`` (per-slide cold, no cross-slide overlap) — the delta is
+    the hidden IO."""
+    import jax
+    from dgdm_histopath_tpu.evaluation import DGDMPredictor
+    from dgdm_histopath_tpu.models import DGDMModel
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+    from dgdm_histopath_tpu.ops.graph import batch_graphs
+    from dgdm_histopath_tpu.preprocessing import (
+        SlideProcessor, TissueGraphBuilder,
+    )
+    from dgdm_histopath_tpu.preprocessing.synthetic import (
+        write_synthetic_slide_hdf5)
+
+    cache = Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    paths, gen_s = [], 0.0
+    for i in range(slides):
+        p = cache / f"synthetic_{width}px_raw_seed{i}.h5"
+        if not p.exists():
+            t = time.perf_counter()
+            write_synthetic_slide_hdf5(p, width=width, height=width,
+                                       num_levels=5, tile=2048, seed=i,
+                                       compression=None, chunk_px=512)
+            gen_s += time.perf_counter() - t
+        paths.append(p)
+
+    ext = PatchFeatureExtractor(arch=extractor, batch_size=128,
+                                stain_normalize_on_device=True,
+                                host_resize_upload=host_resize)
+    model = DGDMModel(node_features=ext.feature_dim,
+                      hidden_dims=(512, 256, 128), num_diffusion_steps=10,
+                      attention_heads=8, graph_layers=4, num_classes=2)
+    proc = SlideProcessor(patch_size=patch, tissue_threshold=0.3,
+                          max_patches=max_patches, stain_normalize=False)
+    builder = TissueGraphBuilder(extractor=ext,
+                                 node_buckets=[512, 1024, 2048])
+    data0 = proc.process_slide(paths[0], slide_id="warm")
+    g0 = builder.build_graph(data0)
+    rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+            "masking": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch_graphs([g0]), mode="pretrain",
+                        deterministic=True)
+    pred = DGDMPredictor(model=model, params=params, patch_size=patch,
+                         max_patches=max_patches, tissue_threshold=0.3)
+    pred.graph_builder = builder
+    pred.processor = proc
+    pred.predict_slide(paths[0], slide_id="warmup")   # compile everything
+
+    evicted = all(_evict_page_cache(p) for p in paths)
+    t0 = time.perf_counter()
+    results = pred.predict_slides(paths, pipelined=True)
+    total = time.perf_counter() - t0
+    dt = total / slides
+    agg = {}
+    for r in results:
+        for k, v in r["pipeline_timings"].items():
+            agg[k] = agg.get(k, 0.0) + v
+    return {"stage": "end_to_end_fleet",
+            "value": round(3600.0 / dt, 1),
+            "unit": f"slides/hour/chip ({width}px, {slides} distinct cold "
+                    f"slides, one-ahead readahead, {extractor}"
+                    + (", host-resize upload" if host_resize else "") + ")",
+            "cache_protocol": ("cold_page_cache(fadvise_dontneed)" if evicted
+                               else "cold_requested_but_fadvise_unavailable"),
+            "seconds_per_slide": round(dt, 2),
+            "breakdown_s": {k: round(v / slides, 3) for k, v in agg.items()},
+            "fixture_gen_s": round(gen_s, 1)}
+
+
 STAGES = {"stain": bench_stain, "feat": bench_featurize,
           "featsplit": bench_featsplit, "knn": bench_knn,
           "train": bench_train, "infer": bench_infer,
           "e2e": bench_e2e,                                   # cold (headline)
-          "e2e_warm": lambda: bench_e2e(cold=False)}
+          "e2e_warm": lambda: bench_e2e(cold=False),
+          "e2e_fleet": bench_e2e_fleet,                       # cross-slide overlap
+          "e2e_fleet_hr": lambda: bench_e2e_fleet(host_resize=True)}
 
 
 def main():

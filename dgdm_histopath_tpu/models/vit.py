@@ -212,10 +212,13 @@ class PatchFeatureExtractor:
         # transfer-bound link (measured: 94% of featurize wall-clock is the
         # ~30 MB/s tunnel upload) shipping 224² instead of 256² uint8 cuts
         # upload bytes 23%. PIL's antialiased bilinear is the same
-        # triangle-kernel family as jax.image.resize (parity test in
-        # tests/test_vit.py); incompatible with on-device stain norm (which
-        # wants the raw pixels) so it is ignored in that mode.
-        self.host_resize_upload = host_resize_upload and not stain_normalize_on_device
+        # triangle-kernel family as jax.image.resize (parity tests in
+        # tests/test_vit_conversion.py). When device stain norm is also on,
+        # it then operates on the resized pixels (norm∘resize instead of the
+        # reference's resize∘norm at native resolution) — the Macenko OD
+        # transform commutes with local averaging to second order in local
+        # contrast, so at a mild 256→224 downscale the difference is ~1 LSB.
+        self.host_resize_upload = host_resize_upload
         self.stain_normalize_on_device = stain_normalize_on_device
         self.stain_alpha = stain_alpha
         self.stain_stats_pixels = stain_stats_pixels

@@ -121,6 +121,28 @@ class TestPredictor:
         assert len(result["biomarkers"]) > 0
         assert result["uncertainty"]["entropy"] >= 0.0
 
+    def test_predict_slides_one_ahead(self, tmp_path):
+        """predict_slides overlaps slides: slide i+1 is opened (firing its
+        whole-file readahead) on a background thread while slide i runs;
+        results keep order, per-path slide ids, and match single-slide
+        predictions."""
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            write_synthetic_slide_hdf5)
+        model, params = self._model_and_params_dim(512)
+        paths = [write_synthetic_slide_hdf5(tmp_path / f"s{i}.h5", 512, 512,
+                                            num_levels=3, tile=256, seed=i)
+                 for i in range(2)]
+        pred = DGDMPredictor(model=model, params=params, patch_size=32,
+                             max_patches=12, feature_extractor="simple_cnn",
+                             tissue_threshold=0.3, stain_normalize=False,
+                             node_buckets=[16])
+        results = pred.predict_slides(paths, pipelined=True)
+        assert [r["slide_id"] for r in results] == ["s0", "s1"]
+        singles = [pred.predict_slide(p, pipelined=True) for p in paths]
+        for fleet, single in zip(results, singles):
+            np.testing.assert_allclose(fleet["probabilities"],
+                                       single["probabilities"], atol=1e-5)
+
     @pytest.mark.slow
     def test_predict_slide_pipelined_matches_serial(self, tmp_path):
         """Decode/compute-overlapped inference returns the same prediction as

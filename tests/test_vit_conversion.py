@@ -207,6 +207,33 @@ class TestConverter:
         assert real == 3 and feats.shape[0] == 4
         assert np.isfinite(np.asarray(feats)).all()
 
+    def test_host_resize_commutes_with_stain_norm(self):
+        """With host_resize_upload + device stain norm the pipeline applies
+        norm∘resize instead of the reference's resize∘norm; on realistic
+        H&E pixels (not adversarial noise) the two orders agree to ~1 LSB
+        because the Macenko OD transform is locally smooth."""
+        import jax
+        import jax.numpy as jnp
+        from dgdm_histopath_tpu.models.vit import host_resize_u8
+        from dgdm_histopath_tpu.preprocessing.stain_normalization import (
+            DEFAULT_MAX_CONCENTRATIONS, DEFAULT_STAIN_MATRIX,
+            _macenko_normalize_single,
+        )
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            generate_tissue_image,
+        )
+        rgb, _ = generate_tissue_image(width=64, height=64, seed=3)
+        ref_s = jnp.asarray(DEFAULT_STAIN_MATRIX)
+        ref_c = jnp.asarray(DEFAULT_MAX_CONCENTRATIONS)
+        norm = lambda img: _macenko_normalize_single(
+            jnp.asarray(img, jnp.float32), ref_s, ref_c, 1.0, 4096)
+        # reference order: stain-norm at native res, then resize
+        a = jax.image.resize(norm(rgb), (56, 56, 3), method="bilinear")
+        # host-resize order: resize (uint8) then stain-norm
+        b = norm(host_resize_u8(rgb[None], 56)[0])
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert np.median(diff) <= 2.0 and np.percentile(diff, 99) <= 12.0
+
     def test_torch_loader_rejects_pickle_code(self, tmp_path):
         """weights_only load path: a checkpoint with arbitrary objects fails
         instead of executing code."""
