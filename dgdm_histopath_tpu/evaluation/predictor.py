@@ -321,6 +321,9 @@ class DGDMPredictor:
 
             results: List[Dict[str, Any]] = []
             nxt = open_slide(slide_paths[0]) if len(slide_paths) else None
+            if nxt is not None:
+                nxt.prefetch()   # slide 0 has no overlap window, but the
+                # advise is async — pages stream in during mask/coords
             try:
                 for i, p in enumerate(slide_paths):
                     cur, nxt = nxt, None
@@ -329,7 +332,9 @@ class DGDMPredictor:
                     if i + 1 < len(slide_paths):
                         def _open(path=slide_paths[i + 1], box=box):
                             try:
-                                box["slide"] = open_slide(path)
+                                s = open_slide(path)
+                                s.prefetch()   # stream cold pages in early
+                                box["slide"] = s
                             except Exception as e:  # surfaced on join below
                                 box["err"] = e
                         opener = threading.Thread(target=_open, daemon=True)

@@ -97,6 +97,18 @@ class SlideBackend:
         return np.stack([self.read_region(loc, level, size)
                          for loc in locations])
 
+    def prefetch(self) -> None:
+        """Hint the kernel to stream this slide's file into the page cache
+        (asynchronous, advisory). Called by ``predict_slides`` when a slide
+        is opened one-ahead so cold disk reads overlap the previous slide's
+        device time. Default: whole-file WILLNEED on the backing path, even
+        for backends (native dgdm_wsi) that normally skip open-time
+        readahead in favor of targeted per-batch advises — one-ahead the
+        whole file is the right call because the read happens later."""
+        path = getattr(self, "_path", None)
+        if path:
+            _advise_readahead(path)
+
     def close(self) -> None:
         pass
 
