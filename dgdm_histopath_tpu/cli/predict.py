@@ -83,7 +83,13 @@ def main(argv=None) -> int:
     class_names = args.class_names.split(",") if args.class_names else None
     rows = []
     failed = 0
-    for path in inputs:
+    for i, path in enumerate(inputs):
+        if i + 1 < len(inputs):
+            # one-ahead page-cache streaming: advise the NEXT input's file
+            # while this one runs, hiding its cold disk reads behind the
+            # current slide's device time (same trick as predict_slides)
+            from ..preprocessing.slide_io import _advise_readahead
+            _advise_readahead(inputs[i + 1])
         try:
             if path.suffix.lower() in GRAPH_EXTS:
                 result = predictor.predict_graph(load_graph(path))
