@@ -68,9 +68,12 @@ class DGDMModel(nn.Module):
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # storage dtype of spatial attention's [B,H,N,N] logits/weights HBM
-    # buffers ("bfloat16" halves the bandwidth-bound dense-attention cost;
-    # softmax math stays f32 — see nn.attention). None = f32 buffers.
-    attention_traffic_dtype: Optional[str] = "bfloat16"
+    # buffers; softmax math stays f32 (see nn.attention). Default None =
+    # f32 buffers: the whole-program A/B (ADR-0004 add.5) measured bf16
+    # SLIGHTLY SLOWER (65.8 vs 63.1 ms/step) — XLA keeps the softmax chain
+    # fused so the buffers never pay full f32 traffic, and the converts
+    # add work. Knob kept for direct-attached-HBM revalidation.
+    attention_traffic_dtype: Optional[str] = None
 
     def _validate(self) -> None:
         # mirrors reference _validate_configuration (:192-242)

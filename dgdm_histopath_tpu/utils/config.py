@@ -63,8 +63,9 @@ class ModelConfig:
     neighbors_morphological: int = 16
     compute_dtype: str = "bfloat16"  # matmul dtype on the MXU
     param_dtype: str = "float32"
-    # spatial attention [B,H,N,N] HBM-buffer dtype; softmax math stays f32
-    attention_traffic_dtype: Optional[str] = "bfloat16"
+    # spatial attention [B,H,N,N] HBM-buffer dtype; softmax math stays f32.
+    # None (f32) measured fastest whole-program — ADR-0004 add.5
+    attention_traffic_dtype: Optional[str] = None
 
 
 @dataclass
