@@ -336,6 +336,65 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ab_attn_traffic_base_b32", "rows": rows}))
         return
+    if "--ab-key-gather" in sys.argv:
+        # whole-step A/B: XLA one-hot key gather (round-2 default) vs the
+        # VMEM one-hot Pallas kernel (ops/pallas/gather_rows). Run on an
+        # IDLE host: contention makes the step dispatch-bound and absorbs
+        # device-side deltas (ADR-0004 add.4).
+        rows = []
+        for tag, ov in (("onehot_xla", {"gather_impl": "onehot"}),
+                        ("pallas_rows", {})):        # auto -> kernel on TPU
+            r = bench_config(f"kg_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_key_gather_impl_base_b32",
+                          "rows": rows}))
+        return
+    if "--ablate-gather" in sys.argv:
+        # isolate the DynamicGraphLayer KEY GATHER's whole-step cost: row B
+        # replaces gather_neighbors with a same-shape broadcast of the first
+        # K source rows (every downstream einsum keeps its real shape and
+        # operands, so XLA can't fold them away) — the step delta is the
+        # cost of building/consuming the [B,N,K,N] one-hot selector. The
+        # stub changes semantics (scores see wrong keys), which is fine for
+        # a timing ablation: loss stays finite, compute graph stays honest.
+        import dgdm_histopath_tpu.nn.graph_layers as _gl
+        real = _gl.gather_neighbors
+
+        def _stub(x, nbr_idx, impl="auto"):
+            k = nbr_idx.shape[-1]
+            first_k = x[..., :k, :]                        # [..., K, F]
+            tgt = (*x.shape[:-2], x.shape[-2], k, x.shape[-1])
+            return jnp_broadcast(first_k, tgt)
+
+        import jax.numpy as _jnp
+
+        def jnp_broadcast(a, shape):
+            return _jnp.broadcast_to(a[..., None, :, :], shape)
+
+        rows = []
+        for tag, fn in (("full", real), ("gather_stubbed", _stub)):
+            _gl.gather_neighbors = fn
+            try:
+                r = bench_config(f"abg_{tag}", node_features=768,
+                                 hidden_dims=(512, 256, 128), num_steps=10,
+                                 heads=8, layers=4, nodes=1024, n_real=1000,
+                                 batch=32, n_iters=20)
+            finally:
+                _gl.gather_neighbors = real
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_key_gather_base_b32", "rows": rows}))
+        return
     if "--ablate" in sys.argv:
         # component split of the Base step (fetch-synced; each row is its
         # own compile): full vs no-spatial vs no-hierarchical

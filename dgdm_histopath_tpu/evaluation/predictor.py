@@ -261,6 +261,11 @@ class DGDMPredictor:
                 for i in range(0, len(infos), bs):
                     t = _time.perf_counter()
                     sub = infos[i:i + bs]
+                    # one-batch-ahead targeted readahead: the kernel streams
+                    # batch i+1's chunk bytes while batch i inflates below
+                    # (chunked backends only; no-op elsewhere)
+                    self.processor.advise_patch_batch(slide,
+                                                      infos[i + bs:i + 2 * bs])
                     if pool is not None:
                         chunk = self.processor.extract_patch_batch_parallel(
                             slide, sub, pool, self.decode_workers)

@@ -72,7 +72,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(str(_LIB))
-            if lib.dgdm_io_version() != 1:
+            if lib.dgdm_io_version() != 2:
                 raise OSError("ABI version mismatch")
             lib.dgdm_read_patches.restype = ctypes.c_int
             lib.dgdm_read_patches.argtypes = [
@@ -89,6 +89,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64,       # ph, pw
                 ctypes.POINTER(ctypes.c_uint8),       # out
                 ctypes.c_int, ctypes.c_int,           # nthreads, do_readahead
+            ]
+            lib.dgdm_advise_patches.restype = ctypes.c_int
+            lib.dgdm_advise_patches.argtypes = [
+                ctypes.c_char_p,                      # path
+                ctypes.c_int64, ctypes.c_int64,       # lvl_h, lvl_w
+                ctypes.c_int64, ctypes.c_int64,       # ch, cw
+                ctypes.POINTER(ctypes.c_uint64),      # chunk_off
+                ctypes.POINTER(ctypes.c_uint64),      # chunk_nbytes
+                ctypes.c_int64,                       # n
+                ctypes.POINTER(ctypes.c_int64),       # ys
+                ctypes.POINTER(ctypes.c_int64),       # xs
+                ctypes.c_int64, ctypes.c_int64,       # ph, pw
             ]
             _lib = lib
         except OSError:
@@ -187,6 +199,29 @@ class ChunkIndex:
             raise RuntimeError(
                 f"native chunk read failed: {_ERRORS.get(rc, rc)}")
         return out
+
+    def advise_patches(self, path: str, ys, xs, ph: int, pw: int) -> None:
+        """Issue coalesced WILLNEED for exactly the chunk byte ranges the
+        patches touch — no reads. Called one batch AHEAD of decode so the
+        kernel streams the next batch's bytes while this batch inflates.
+        Advisory: failures are swallowed (the reads still work)."""
+        lib = get_lib()
+        if lib is None or len(ys) == 0:
+            return
+        ys = np.ascontiguousarray(ys, np.int64)
+        xs = np.ascontiguousarray(xs, np.int64)
+        try:
+            lib.dgdm_advise_patches(
+                str(path).encode(),
+                self.lvl_h, self.lvl_w, self.ch, self.cw,
+                self.offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                self.nbytes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                len(ys),
+                ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ph, pw)
+        except (OSError, ctypes.ArgumentError):
+            pass
 
 
 def available() -> bool:

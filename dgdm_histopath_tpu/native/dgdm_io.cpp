@@ -258,7 +258,59 @@ int dgdm_read_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
   return err.load();
 }
 
+// Advise-only entry: compute the chunk set the given patches touch and
+// issue coalesced POSIX_FADV_WILLNEED for their byte ranges — no reads, no
+// decode. Called one BATCH AHEAD by the decode pipeline: while batch i's
+// chunks inflate on the CPU, the kernel streams batch i+1's bytes from
+// disk in the background, so a cold cache overlaps seek/transfer latency
+// with decompression instead of serializing them. Returns ERR_OK or a
+// negative ErrCode.
+int dgdm_advise_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
+                        int64_t ch, int64_t cw, const uint64_t* chunk_off,
+                        const uint64_t* chunk_nbytes, int64_t n,
+                        const int64_t* ys, const int64_t* xs, int64_t ph,
+                        int64_t pw) {
+  if (ch <= 0 || cw <= 0 || ph <= 0 || pw <= 0 || lvl_h <= 0 || lvl_w <= 0)
+    return ERR_BADARG;
+  const int64_t grid_cols = (lvl_w + cw - 1) / cw;
+  std::vector<std::pair<uint64_t, uint64_t>> ranges;  // (offset, nbytes)
+  std::vector<char> seen(
+      static_cast<size_t>(((lvl_h + ch - 1) / ch) * grid_cols), 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t y0 = std::max<int64_t>(ys[i], 0);
+    int64_t x0 = std::max<int64_t>(xs[i], 0);
+    int64_t y1 = std::min<int64_t>(ys[i] + ph, lvl_h);
+    int64_t x1 = std::min<int64_t>(xs[i] + pw, lvl_w);
+    if (y1 <= y0 || x1 <= x0) continue;
+    for (int64_t cr = y0 / ch; cr <= (y1 - 1) / ch; ++cr)
+      for (int64_t cc = x0 / cw; cc <= (x1 - 1) / cw; ++cc) {
+        size_t cid = static_cast<size_t>(cr * grid_cols + cc);
+        if (seen[cid]) continue;
+        seen[cid] = 1;
+        if (chunk_off[cid] && chunk_nbytes[cid])
+          ranges.emplace_back(chunk_off[cid], chunk_nbytes[cid]);
+      }
+  }
+  if (ranges.empty()) return ERR_OK;
+  std::sort(ranges.begin(), ranges.end());
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return ERR_OPEN;
+  uint64_t ra_off = 0, ra_end = 0;
+  for (const auto& r : ranges) {
+    if (ra_end && r.first <= ra_end + (1u << 20)) {
+      ra_end = std::max(ra_end, r.first + r.second);
+      continue;
+    }
+    if (ra_end) posix_fadvise(fd, ra_off, ra_end - ra_off, POSIX_FADV_WILLNEED);
+    ra_off = r.first;
+    ra_end = r.first + r.second;
+  }
+  if (ra_end) posix_fadvise(fd, ra_off, ra_end - ra_off, POSIX_FADV_WILLNEED);
+  close(fd);
+  return ERR_OK;
+}
+
 // ABI/version probe for the ctypes loader.
-int dgdm_io_version() { return 1; }
+int dgdm_io_version() { return 2; }
 
 }  // extern "C"

@@ -163,9 +163,17 @@ class DynamicGraphLayer(nn.Module):
         k = nn.DenseGeneral((heads, head_dim), name="k_proj", dtype=self.dtype,
                             param_dtype=self.param_dtype)(x_in)
         k_impl = "take" if self.gather_impl == "xla" else self.gather_impl
-        if k_impl not in ("onehot", "take"):
-            from ..ops.graph import resolve_gather_impl
-            k_impl = resolve_gather_impl()   # onehot on accelerators (ADR-0004 add.2)
+        if k_impl == "pallas":
+            # explicit opt-in only: the VMEM one-hot kernel measured 31%
+            # slower whole-step than XLA's one-hot einsum, whose selector
+            # never actually materializes (ADR-0004 add.7)
+            k_impl = "pallas_rows"
+        elif k_impl not in ("onehot", "take"):
+            # auto: onehot on accelerators (add.2), take on CPU
+            from ..ops.graph import resolve_key_gather_impl
+            k_impl = resolve_key_gather_impl(
+                x_in.shape[-2], nbr_idx.shape[-1], f,
+                jnp.dtype(self.dtype).itemsize)
         # NOTE (measured, fetch-synced, b32 Base): a score-space selection
         # (dense S = q·Kᵀ then per-node [K,M]@[M,H] selection) cuts FLOPs
         # 2218→1288 GF but SLOWS the step 77.5→135.4 ms — the tiny per-node
@@ -208,7 +216,8 @@ class DynamicGraphLayer(nn.Module):
         # the precomputed tensors (VERDICT r2 #3 — explicit hoist instead of
         # trusting XLA to CSE the twin [N,K,N] reduce fusions)
         adj = edge_sum = hoisted_self_norm = None
-        if k_impl == "onehot" and self.gather_impl in ("auto", "onehot"):
+        if (k_impl in ("onehot", "pallas_rows")
+                and self.gather_impl in ("auto", "onehot")):
             from ..ops.graph import weighted_adjacency
             norm, hoisted_self_norm = symmetric_norm(nbr_idx, nbr_mask)
             cw = (norm.astype(self.dtype) * edge_weight.astype(self.dtype)

@@ -99,6 +99,25 @@ def resolve_gather_impl() -> str:
     return "onehot" if jax.default_backend() in ("tpu", "axon") else "take"
 
 
+def resolve_key_gather_impl(n: int, k: int, f: int,
+                            dtype_bytes: int = 2) -> str:
+    """Key-gather policy for ``DynamicGraphLayer`` (static, trace-time).
+
+    ``onehot`` on TPU backends, ``take`` elsewhere — the same policy as
+    :func:`resolve_gather_impl`. The Pallas ``gather_rows`` kernel
+    (VMEM-resident one-hot tiles) measured 31% SLOWER whole-step than the
+    XLA one-hot einsum (85.6 vs 65.3 ms, batch-32 Base, paired idle-host
+    A/B — ADR-0004 addendum 7): the executable's temp allocation shows XLA
+    never materializes the [B,N,K,N] selector in the first place, and a
+    gather-stubbed ablation put the key gather's whole-step cost near zero.
+    The kernel stays an explicit opt-in (``gather_impl='pallas'``) for
+    future geometries.
+    """
+    if jax.default_backend() in ("tpu", "axon"):
+        return "onehot"
+    return "take"
+
+
 def gather_neighbors(x: jnp.ndarray, nbr_idx: jnp.ndarray,
                      impl: str = "auto") -> jnp.ndarray:
     """Gather neighbor features with arbitrary leading batch axes.
@@ -111,11 +130,20 @@ def gather_neighbors(x: jnp.ndarray, nbr_idx: jnp.ndarray,
         for the take_along_axis lowering (benchmarks/bench_gather.py) — XLA's
         TPU gather walks rows serially while the MXU eats the equivalent
         matmul. Costs O(N·K·N·F) FLOPs, a bargain below ~4k nodes.
+      * ``"pallas_rows"`` — same MXU math, but the one-hot tiles are built
+        in VMEM by the ``ops.pallas.gather_rows`` kernel, so the [N,K,N]
+        selector never touches HBM (falls back to ``auto`` when shapes are
+        ineligible or the input isn't [B, N, F]).
       * ``"take"`` — the take_along_axis lowering (fast on CPU).
       * ``"auto"`` — onehot on TPU backends, take elsewhere.
     """
     *batch, n, f = x.shape
     k = nbr_idx.shape[-1]
+    if impl == "pallas_rows":
+        from .pallas.gather_rows import eligible, gather_rows
+        if len(batch) == 1 and eligible(n, k, f, x.dtype.itemsize):
+            return gather_rows(x, nbr_idx)
+        impl = "auto"
     if impl == "auto":
         impl = resolve_gather_impl()
     if impl == "onehot":

@@ -97,6 +97,15 @@ class SlideBackend:
         return np.stack([self.read_region(loc, level, size)
                          for loc in locations])
 
+    def advise_regions(self, locations: Sequence[Tuple[int, int]],
+                       level: int, size: Tuple[int, int]) -> None:
+        """Asynchronously hint the kernel to stream the bytes a FUTURE
+        ``read_regions(locations, ...)`` will touch (advisory, no reads).
+        The decode pipeline calls this one batch ahead so cold disk
+        transfer overlaps the current batch's decompression. Default:
+        no-op (whole-file readahead at open already covers non-chunked
+        backends)."""
+
     def prefetch(self) -> None:
         """Hint the kernel to stream this slide's file into the page cache
         (asynchronous, advisory). Called by ``predict_slides`` when a slide
@@ -375,6 +384,20 @@ class HDF5SlideBackend(SlideBackend):
                     out[j, oy:oy + (y_hi - y_lo), ox:ox + (sx1 - sx0)] = \
                         strip[:, sx0:sx1]
         return out
+
+    def advise_regions(self, locations, level, size):
+        """Targeted next-batch WILLNEED through the native chunk index:
+        only the byte ranges the batch's patches touch are advised (a
+        tissue-gated batch reads a small fraction of the level), so cold
+        pages stream in during the CURRENT batch's inflate/assembly."""
+        idx = self._native_index(level)
+        if idx is None or not locations:
+            return
+        ds = self.level_downsamples[level]
+        w, h = size
+        ys = [int(loc[1] / ds) for loc in locations]
+        xs = [int(loc[0] / ds) for loc in locations]
+        idx.advise_patches(self._path, ys, xs, h, w)
 
     def close(self):
         self._f.close()

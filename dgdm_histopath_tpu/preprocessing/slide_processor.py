@@ -238,6 +238,29 @@ class SlideProcessor:
                 out[i] = img
         return out
 
+    def advise_patch_batch(self, slide: SlideBackend,
+                           infos: Sequence[PatchInfo]) -> None:
+        """Advisory readahead for a FUTURE ``extract_patch_batch(infos)``:
+        group by (level, read_size) exactly like the extractor and hand
+        each group to the backend's ``advise_regions``. Called one batch
+        ahead by the decode pipeline — overlaps cold disk transfer with the
+        current batch's decompression. Never raises."""
+        if not infos:
+            return
+        try:
+            native = self.get_objective_power(slide)
+            groups: Dict[Tuple[int, int], list] = {}
+            for info in infos:
+                level_ds = slide.level_downsamples[info.level]
+                want_ds = native / info.magnification
+                read_size = int(round(info.size * want_ds / level_ds))
+                groups.setdefault((info.level, read_size), []).append(
+                    (info.x, info.y))
+            for (level, read_size), locs in groups.items():
+                slide.advise_regions(locs, level, (read_size, read_size))
+        except Exception:  # noqa: BLE001 - purely advisory
+            pass
+
     def extract_patch_batch_parallel(self, slide: SlideBackend,
                                      infos: Sequence[PatchInfo],
                                      pool, workers: int) -> np.ndarray:

@@ -148,3 +148,42 @@ class TestChunkIndexEligibility:
         assert (got[0][:56, :56] == 7).all()      # allocated region
         assert (got[0][56:, 56:] == 0).all()      # HDF5 default fill
         assert (got[1] == 0).all()                # fully unallocated chunk
+
+
+class TestAdvisePatches:
+    """dgdm_advise_patches: advisory readahead must never disturb reads."""
+
+    def test_advise_then_read_matches(self, slide_path):
+        b = HDF5SlideBackend(slide_path)
+        assert b._native_ok
+        locs = [(0, 0), (300, 200), (1400, 1000), (-20, -20), (10**6, 10**6)]
+        # advise the batch, then read it: results identical to h5py truth
+        b.advise_regions(locs, 0, (128, 96))
+        got = b.read_regions(locs, 0, (128, 96))
+        for g, (x0, y0) in zip(got, locs):
+            np.testing.assert_array_equal(
+                g, _h5py_read(slide_path, 0, y0, x0, 96, 128))
+        b.close()
+
+    def test_advise_empty_and_base_noop(self, slide_path):
+        from dgdm_histopath_tpu.preprocessing.slide_io import ArrayBackend
+        b = HDF5SlideBackend(slide_path)
+        b.advise_regions([], 0, (64, 64))          # no-op, no error
+        b.close()
+        ab = ArrayBackend([np.zeros((64, 64, 3), np.uint8)])
+        ab.advise_regions([(0, 0)], 0, (32, 32))   # base-class no-op
+
+    def test_processor_advise_groups_like_extract(self, slide_path):
+        """advise_patch_batch must accept the same PatchInfo stream the
+        extractor sees (multiple levels/mags) and never raise."""
+        from dgdm_histopath_tpu.preprocessing.slide_processor import (
+            PatchInfo, SlideProcessor)
+        proc = SlideProcessor(patch_size=96, stain_normalize=False)
+        b = HDF5SlideBackend(slide_path)
+        infos = [PatchInfo(0, 0, 0, 40.0, 96, 1.0),
+                 PatchInfo(256, 256, 0, 20.0, 96, 1.0),
+                 PatchInfo(64, 64, 1, 10.0, 96, 1.0)]
+        proc.advise_patch_batch(b, infos)
+        out = proc.extract_patch_batch(b, infos)
+        assert out.shape == (3, 96, 96, 3)
+        b.close()

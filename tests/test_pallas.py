@@ -225,3 +225,87 @@ class TestPackedFlash:
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3, rtol=2e-3)
+
+
+class TestGatherRows:
+    """VMEM one-hot row gather (``ops/pallas/gather_rows``) — the
+    DynamicGraphLayer key gather without the HBM [B,N,K,N] selector."""
+
+    @staticmethod
+    def _data(b=2, n=256, k=9, f=128, dtype=jnp.float32, seed=0):
+        rs = np.random.RandomState(seed)
+        src = jnp.asarray(rs.randn(b, n, f), dtype)
+        idx = jnp.asarray(rs.randint(0, n, size=(b, n, k)), jnp.int32)
+        return src, idx
+
+    @staticmethod
+    def _take(src, idx):
+        b, n, k = idx.shape
+        f = src.shape[-1]
+        return jnp.take_along_axis(
+            src, idx.reshape(b, n * k)[..., None], axis=-2
+        ).reshape(b, n, k, f)
+
+    def test_forward_bit_exact(self):
+        """Rows are copies, not sums: the kernel must be BIT-equal to
+        take_along_axis, f32 and bf16."""
+        from dgdm_histopath_tpu.ops.pallas.gather_rows import gather_rows
+        for dt in (jnp.float32, jnp.bfloat16):
+            src, idx = self._data(dtype=dt)
+            out = gather_rows(src, idx, True)
+            assert out.dtype == src.dtype
+            np.testing.assert_array_equal(
+                np.asarray(out, np.float32),
+                np.asarray(self._take(src, idx), np.float32))
+
+    def test_vjp_matches_autodiff(self):
+        from dgdm_histopath_tpu.ops.pallas.gather_rows import gather_rows
+        src, idx = self._data(n=128, k=5)
+        w = jnp.asarray(np.random.RandomState(1).randn(2, 128, 5, 128),
+                        jnp.float32)
+        lp = lambda s: jnp.sum(self._take(s, idx) * w)
+        lk = lambda s: jnp.sum(gather_rows(s, idx, True) * w)
+        gp = jax.grad(lp)(src)
+        gk = jax.grad(lk)(src)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gk),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_eligibility_gate(self):
+        from dgdm_histopath_tpu.ops.pallas.gather_rows import eligible
+        assert eligible(1024, 24, 128)          # Base geometry
+        assert eligible(2048, 24, 128)          # Large bucket
+        assert not eligible(1000, 24, 128)      # untiled node count
+        assert not eligible(2048, 24, 8192)     # VMEM blowout
+
+    def test_gather_neighbors_pallas_rows_route(self):
+        """impl='pallas_rows' matches 'take' exactly, and ineligible shapes
+        fall back instead of failing."""
+        from dgdm_histopath_tpu.ops.graph import gather_neighbors
+        src, idx = self._data()
+        out = gather_neighbors(src, idx, impl="pallas_rows")
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(self._take(src, idx)))
+        # ineligible (n=100 untiled) -> silent fallback, same result
+        src2, idx2 = self._data(n=100, k=3, f=16)
+        out2 = gather_neighbors(src2, idx2, impl="pallas_rows")
+        np.testing.assert_array_equal(np.asarray(out2),
+                                      np.asarray(self._take(src2, idx2)))
+
+    def test_layer_level_key_gather_parity(self):
+        """DynamicGraphLayer(gather_impl='pallas') == 'onehot' on identical
+        params — the exact A/B wiring used for on-chip benchmarking."""
+        from dgdm_histopath_tpu.nn.graph_layers import DynamicGraphLayer
+        rs = np.random.RandomState(0)
+        n, k, f = 128, 7, 32
+        x = jnp.asarray(rs.randn(2, n, f), jnp.float32)
+        idx = jnp.asarray(rs.randint(0, n, (2, n, k)), jnp.int32)
+        mask = jnp.asarray(rs.rand(2, n, k) > 0.2)
+        ea = jnp.asarray(rs.randn(2, n, k, 3), jnp.float32)
+        kw = dict(features=f, num_heads=4, dtype=jnp.float32)
+        l_ref = DynamicGraphLayer(**kw, gather_impl="onehot")
+        l_pal = DynamicGraphLayer(**kw, gather_impl="pallas")
+        params = l_ref.init(jax.random.PRNGKey(0), x, idx, mask, ea)
+        o_ref = l_ref.apply(params, x, idx, mask, ea)
+        o_pal = l_pal.apply(params, x, idx, mask, ea)
+        np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_pal),
+                                   atol=2e-5, rtol=2e-5)
