@@ -320,6 +320,31 @@ def main():
         best = max(results, key=lambda r: r["value"])
         print(json.dumps(best))
         return
+    if "--large-sweep" in sys.argv:
+        # find the saturating batch for DGDM-Large (2048-node bucket):
+        # batch 4 leaves the chip ~2.85 GB of a 16 GB HBM budget — sweep
+        # upward until OOM or throughput rolls over. Each size is its own
+        # tunnel compile; OOM is recorded, not fatal.
+        results = []
+        for b in (4, 8, 16, 32):
+            try:
+                r = bench_config(f"2048node_large_b{b}", node_features=1024,
+                                 hidden_dims=(768, 512, 256, 128),
+                                 num_steps=20, heads=16, layers=4,
+                                 nodes=2048, n_real=2000, batch=b,
+                                 n_iters=10)
+                r["batch"] = b
+                results.append(r)
+                print(json.dumps(r), file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 - record OOM and stop
+                print(json.dumps({"batch": b, "error":
+                                  f"{type(exc).__name__}: {str(exc)[:200]}"}),
+                      file=sys.stderr)
+                break
+        if results:
+            best = max(results, key=lambda r: r["value"])
+            print(json.dumps(best))
+        return
     if "--ab-attn-traffic" in sys.argv:
         # whole-program A/B of spatial attention's HBM-buffer dtype: f32
         # (strict) vs bf16 (halves the bandwidth-bound [B,H,N,N] traffic).
@@ -412,9 +437,10 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ablation_base_b32", "rows": rows}))
         return
-    # batch 32 saturates the chip (sweep: 1561 g/s @b4 -> 11493 g/s @b32;
-    # step time 2.56 -> 2.78 ms — the b4 step was overhead-bound);
-    # --parity benches the reference's batch-4 config instead
+    # batch 32 saturates the chip (fetch-synced sweep, ADR-0004 add.3/4:
+    # b32 is the throughput optimum; earlier 11k-g/s figures were
+    # dispatch-timed and retracted); --parity benches the reference's
+    # batch-4 config instead
     headline_batch = 4 if "--parity" in sys.argv else 32
     base = bench_config("1024node_base", node_features=768,
                         hidden_dims=(512, 256, 128), num_steps=10, heads=8,
