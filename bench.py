@@ -345,6 +345,24 @@ def main():
             best = max(results, key=lambda r: r["value"])
             print(json.dumps(best))
         return
+    if "--ablate-large" in sys.argv:
+        # component split of the LARGE step (2048-node bucket, batch 4):
+        # the batch sweep shows the chip saturated at batch 4 (linear
+        # per-graph scaling 11.4->12.0 ms/graph, b32 OOM) — this locates
+        # where the 45 ms goes before any kernel work at N=2048
+        rows = []
+        for tag, sp, hi in (("full", True, True), ("no_spatial", False, True),
+                            ("no_unet", True, False),
+                            ("encoder_only", False, False)):
+            r = bench_config(f"ablate_large_{tag}", node_features=1024,
+                             hidden_dims=(768, 512, 256, 128), num_steps=20,
+                             heads=16, layers=4, nodes=2048, n_real=2000,
+                             batch=4, n_iters=10, use_spatial=sp, use_hier=hi)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"]})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ablation_large_b4", "rows": rows}))
+        return
     if "--ab-attn-traffic" in sys.argv:
         # whole-program A/B of spatial attention's HBM-buffer dtype: f32
         # (strict) vs bf16 (halves the bandwidth-bound [B,H,N,N] traffic).
