@@ -128,15 +128,80 @@ def build_step(layout: str, n_devices: int, nodes: int, batch: int):
     return jitted.lower(trainer.state, batch_g)
 
 
+def bench_halo(nodes: int, batch: int, tp: int):
+    """Op-level study: halo-exchange neighbor gather vs the GSPMD lowering
+    of the same node-sharded gather (parallel/halo.py vs plain sp.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dgdm_histopath_tpu.ops.graph import (
+        PaddedGraph, batch_graphs, gather_neighbors)
+    from dgdm_histopath_tpu.ops.knn import knn_euclidean
+    from dgdm_histopath_tpu.parallel.halo import (
+        build_halo_plan, halo_fraction, halo_gather, spatial_sort)
+    from dgdm_histopath_tpu.parallel.mesh import make_mesh
+
+    def make_graph(seed, feat=64):
+        rs = np.random.RandomState(seed)
+        n_real = nodes - nodes // 16
+        pos = np.zeros((nodes, 2), np.float32)
+        pos[:n_real] = rs.rand(n_real, 2)
+        mask = np.zeros((nodes,), bool)
+        mask[:n_real] = True
+        idx, dist, valid = knn_euclidean(jnp.asarray(pos), jnp.asarray(mask), 8)
+        x = np.zeros((nodes, feat), np.float32)
+        x[:n_real] = rs.randn(n_real, feat)
+        ea = jnp.stack([dist, jnp.exp(-10.0 * dist), jnp.zeros_like(dist)], -1)
+        return spatial_sort(PaddedGraph(
+            x=jnp.asarray(x), pos=jnp.asarray(pos), nbr_idx=idx,
+            nbr_mask=valid, edge_attr=ea, node_mask=jnp.asarray(mask)))
+
+    g = batch_graphs([make_graph(i) for i in range(batch)])
+    plan = build_halo_plan(g.nbr_idx, g.nbr_mask, tp=tp)
+    frac = halo_fraction(g.nbr_idx, g.nbr_mask, tp)
+    mesh = make_mesh(axes=("data", "model"),
+                     shape=(len(jax.devices()) // tp, tp))
+    ns = NamedSharding(mesh, P("data", "model", None))
+    x = jax.device_put(g.x, ns)
+    idx = jax.device_put(g.nbr_idx, ns)
+
+    halo_hlo = (jax.jit(lambda a: halo_gather(a, plan, mesh))
+                .lower(x).compile().as_text())
+    gspmd_hlo = (jax.jit(lambda a, i: gather_neighbors(a, i, impl="take"),
+                         out_shardings=NamedSharding(
+                             mesh, P("data", "model", None, None)))
+                 .lower(x, idx).compile().as_text())
+    row = {"layout": f"halo_vs_gspmd_tp{tp}", "nodes": nodes, "batch": batch,
+           "halo_size": plan.halo_size, "cross_shard_edge_frac": round(frac, 4),
+           "halo": count_collectives(halo_hlo),
+           "gspmd": count_collectives(gspmd_hlo)}
+    for k in ("halo", "gspmd"):
+        row[f"{k}_bytes"] = sum(v["bytes_out"] for v in row[k].values())
+    row["bytes_ratio"] = round(row["halo_bytes"] / max(row["gspmd_bytes"], 1), 4)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--halo", action="store_true",
+                    help="op-level halo-exchange vs GSPMD gather study")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
     n = len(jax.devices())
+
+    if args.halo:
+        rows = [bench_halo(args.nodes, args.batch, tp)
+                for tp in (2, 4) if n % tp == 0]
+        for r in rows:
+            print(json.dumps(r), file=sys.stderr)
+        print(json.dumps({"metric": "halo_vs_gspmd_gather", "rows": rows}))
+        return
+
     layouts = [f"dp{n}"]
     if n >= 4 and n % 2 == 0:
         layouts += [f"dp2_tp{n // 2}", f"sp2_tp{n // 2}"]

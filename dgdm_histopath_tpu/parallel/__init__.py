@@ -9,6 +9,10 @@ from .tp import (
     describe_sharding,
 )
 from .sp import node_sharding, shard_graph_nodes, constrain_nodes
+from .halo import (
+    HaloPlan, build_halo_plan, halo_gather, halo_fraction, spatial_sort,
+    spatial_permutation, permute_graph,
+)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
@@ -16,4 +20,6 @@ __all__ = [
     "tp_size", "tp_param_specs", "shard_tree_like", "place_state_tp",
     "describe_sharding",
     "node_sharding", "shard_graph_nodes", "constrain_nodes",
+    "HaloPlan", "build_halo_plan", "halo_gather", "halo_fraction",
+    "spatial_sort", "spatial_permutation", "permute_graph",
 ]
