@@ -50,6 +50,7 @@ class TissueGraphBuilder:
         node_buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
         feature_batch_size: int = 256,
         extractor: Optional[PatchFeatureExtractor] = None,
+        spatial_sort: bool = False,
     ):
         self.k_spatial = k_spatial
         self.k_morphological = k_morphological
@@ -58,6 +59,10 @@ class TissueGraphBuilder:
         self.feature_extractor_name = feature_extractor
         self._extractor = extractor
         self._extractor_batch = feature_batch_size
+        # Morton-order nodes at build time (semantic no-op; makes block
+        # sharding of the node axis spatially local so the halo-exchange SP
+        # path — parallel/halo.py, ADR-0005 add.2 — stays cheap)
+        self.spatial_sort = spatial_sort
 
     @property
     def extractor(self) -> Optional[PatchFeatureExtractor]:
@@ -146,10 +151,14 @@ class TissueGraphBuilder:
                 decay=self.spatial_decay)
 
         y = None if label is None else jnp.asarray(label)
-        return PaddedGraph(
+        graph = PaddedGraph(
             x=jnp.asarray(x), pos=jnp.asarray(p),
             nbr_idx=knn["nbr_idx"], nbr_mask=knn["nbr_mask"],
             edge_attr=knn["edge_attr"], node_mask=jnp.asarray(node_mask), y=y)
+        if self.spatial_sort:
+            from ..parallel.halo import spatial_sort as _morton
+            graph = _morton(graph)
+        return graph
 
     # ------------------------------------------------------------------
     def coarsen_graph(self, graph: PaddedGraph, ratio: float = 0.5) -> PaddedGraph:

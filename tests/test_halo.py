@@ -79,6 +79,33 @@ class TestSpatialSort:
         assert f_sort < 0.5 * f_shuf, (f_sort, f_shuf)
 
 
+class TestBuilderIntegration:
+    def test_graph_builder_spatial_sort(self):
+        """TissueGraphBuilder(spatial_sort=True) yields Morton-ordered nodes
+        with identical aggregate structure to the unsorted build."""
+        from dgdm_histopath_tpu.preprocessing import (
+            SlideProcessor, TissueGraphBuilder, synthetic_slide,
+        )
+        from dgdm_histopath_tpu.parallel.halo import morton_keys
+
+        backend, _ = synthetic_slide(1024, 1024, num_levels=3, seed=3)
+        proc = SlideProcessor(patch_size=32, tissue_threshold=0.3,
+                              max_patches=40, stain_normalize=False)
+        data = proc.process_slide(backend, slide_id="halo")
+        plain = TissueGraphBuilder(feature_extractor="none",
+                                   node_buckets=[64]).build_graph(data)
+        sorted_g = TissueGraphBuilder(feature_extractor="none",
+                                      node_buckets=[64],
+                                      spatial_sort=True).build_graph(data)
+        # same real-node/edge counts, keys nondecreasing over real nodes
+        assert int(sorted_g.n_real_nodes) == int(plain.n_real_nodes)
+        assert np.asarray(sorted_g.nbr_mask).sum() == np.asarray(plain.nbr_mask).sum()
+        keys = morton_keys(np.asarray(sorted_g.pos),
+                           np.asarray(sorted_g.node_mask))
+        real = keys[np.asarray(sorted_g.node_mask)]
+        assert (np.diff(real) >= 0).all()
+
+
 class TestHaloPlan:
     def test_plan_shapes_and_bounds(self):
         batch = sorted_batch(b=3, n_nodes=64)
