@@ -11,7 +11,7 @@ from .tp import (
 from .sp import node_sharding, shard_graph_nodes, constrain_nodes
 from .halo import (
     HaloPlan, build_halo_plan, halo_gather, halo_fraction, spatial_sort,
-    spatial_permutation, permute_graph,
+    spatial_permutation, permute_graph, sp_graph_conv,
 )
 
 __all__ = [
@@ -21,5 +21,5 @@ __all__ = [
     "describe_sharding",
     "node_sharding", "shard_graph_nodes", "constrain_nodes",
     "HaloPlan", "build_halo_plan", "halo_gather", "halo_fraction",
-    "spatial_sort", "spatial_permutation", "permute_graph",
+    "spatial_sort", "spatial_permutation", "permute_graph", "sp_graph_conv",
 ]

@@ -259,6 +259,44 @@ def halo_gather(x: jnp.ndarray, plan: HaloPlan, mesh: Mesh,
     return exchange(x, send, idx)
 
 
+def sp_graph_conv(params, x: jnp.ndarray, nbr_idx: jnp.ndarray,
+                  nbr_mask: jnp.ndarray, plan: HaloPlan, mesh: Mesh,
+                  edge_attr: Optional[jnp.ndarray] = None,
+                  edge_weight: Optional[jnp.ndarray] = None,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """``nn.GraphConvolution`` forward over node-sharded inputs.
+
+    Applies a trained layer's parameter tree (``{'lin','edge_lin','bias'}``,
+    as produced by ``nn.graph_layers.GraphConvolution``) with every per-node
+    op running shard-local and BOTH gathers — the neighbor inverse-sqrt
+    degree and the neighbor features — riding the same halo plan (the plan
+    depends only on ``nbr_idx``, which the two gathers share). Math matches
+    the dense layer's take-path exactly, including the Σ_k weight·e
+    linearity reassociation (``nn/graph_layers.py:86-122``); parity is
+    pinned in tests/test_halo.py.
+
+    Inputs are ``[B, N, ...]`` with the node axis sharded over ``model``
+    (``sp.shard_graph_nodes``); the output keeps that layout.
+    """
+    kernel = jnp.asarray(params["lin"]["kernel"], dtype)
+    bias = jnp.asarray(params["bias"], dtype)
+    h = x.astype(dtype) @ kernel                              # node-local
+    deg = jnp.sum(nbr_mask.astype(dtype), axis=-1) + 1.0      # self-loop
+    inv = jax.lax.rsqrt(jnp.maximum(deg, 1.0))                # [B, N]
+    nbr_inv = halo_gather(inv[..., None], plan, mesh)[..., 0]  # [B, N, K]
+    weight = inv[..., None] * nbr_inv * nbr_mask.astype(dtype)
+    if edge_weight is not None:
+        weight = weight * edge_weight.astype(dtype)
+    weight = weight * nbr_mask.astype(dtype)
+    h_nbr = halo_gather(h, plan, mesh)                        # [B, N, K, F']
+    agg = jnp.sum(h_nbr * weight[..., None], axis=-2)
+    if edge_attr is not None and "edge_lin" in params:
+        e_sum = jnp.sum(edge_attr.astype(dtype) * weight[..., None], axis=-2)
+        agg = agg + e_sum @ jnp.asarray(params["edge_lin"]["kernel"], dtype)
+    out = agg + h * (inv * inv)[..., None]
+    return out + bias
+
+
 def halo_fraction(nbr_idx: np.ndarray, nbr_mask: np.ndarray, tp: int) -> float:
     """Diagnostic: fraction of real edges that cross a shard boundary under
     contiguous block sharding (lower after spatial_sort ⇒ smaller H)."""
@@ -275,5 +313,6 @@ def halo_fraction(nbr_idx: np.ndarray, nbr_mask: np.ndarray, tp: int) -> float:
 
 
 __all__ = ["HaloPlan", "build_halo_plan", "halo_gather", "halo_fraction",
+           "sp_graph_conv",
            "morton_keys", "spatial_permutation", "permute_graph",
            "spatial_sort"]

@@ -189,6 +189,32 @@ class TestHaloGather:
         m = np.asarray(g.nbr_mask)[..., None]
         np.testing.assert_allclose(halo * m, dense * m, rtol=1e-6)
 
+    def test_sp_graph_conv_parity(self, mesh):
+        """The node-sharded GraphConvolution forward (sp_graph_conv) applies
+        a trained flax layer's params over the halo plan and matches the
+        dense layer exactly (real nodes; nn/graph_layers.py:86-122)."""
+        from dgdm_histopath_tpu.nn.graph_layers import GraphConvolution
+        from dgdm_histopath_tpu.parallel.halo import sp_graph_conv
+        from dgdm_histopath_tpu.parallel.sp import shard_graph_nodes
+
+        batch = sorted_batch(b=4, n_nodes=64, feat_dim=16)
+        layer = GraphConvolution(features=24, gather_impl="xla",
+                                 dtype=jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), batch.x, batch.nbr_idx,
+                            batch.nbr_mask, batch.edge_attr)
+        dense = layer.apply(params, batch.x, batch.nbr_idx, batch.nbr_mask,
+                            batch.edge_attr)
+
+        plan = build_halo_plan(batch.nbr_idx, batch.nbr_mask, tp=4)
+        sharded = shard_graph_nodes(batch, mesh)
+        sp_out = sp_graph_conv(params["params"], sharded.x, sharded.nbr_idx,
+                               sharded.nbr_mask, plan, mesh,
+                               edge_attr=sharded.edge_attr)
+        m = np.asarray(batch.node_mask)[..., None]
+        np.testing.assert_allclose(np.asarray(sp_out) * m,
+                                   np.asarray(dense) * m,
+                                   rtol=2e-5, atol=2e-5)
+
     def test_collective_bytes_beat_gspmd(self, mesh):
         """The compiled halo gather moves fewer collective bytes than the
         GSPMD lowering of the same node-sharded gather (the motivating
