@@ -160,8 +160,9 @@ def bench_halo(nodes: int, batch: int, tp: int):
     g = batch_graphs([make_graph(i) for i in range(batch)])
     plan = build_halo_plan(g.nbr_idx, g.nbr_mask, tp=tp)
     frac = halo_fraction(g.nbr_idx, g.nbr_mask, tp)
-    mesh = make_mesh(axes=("data", "model"),
-                     shape=(len(jax.devices()) // tp, tp))
+    dp = max(1, min(len(jax.devices()) // tp, batch))
+    mesh = make_mesh(n_devices=dp * tp, axes=("data", "model"),
+                     shape=(dp, tp))
     ns = NamedSharding(mesh, P("data", "model", None))
     x = jax.device_put(g.x, ns)
     idx = jax.device_put(g.nbr_idx, ns)
