@@ -379,6 +379,27 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ab_attn_traffic_base_b32", "rows": rows}))
         return
+    if "--ab-window" in sys.argv:
+        # whole-step A/B of block-local (windowed) spatial attention vs the
+        # dense all-pairs pass (nn.attention window_size; an approximation —
+        # opt-in scaling lever, so the measurement question is pure speed).
+        # Paired back-to-back in one process: only the paired delta counts
+        # (idle-host baseline drifts day to day, ADR-0004 add.7).
+        rows = []
+        for tag, ov in (("dense", {}), ("window128", {"spatial_window": 128}),
+                        ("window64", {"spatial_window": 64})):
+            r = bench_config(f"win_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_spatial_window_base_b32",
+                          "rows": rows}))
+        return
     if "--ab-key-gather" in sys.argv:
         # whole-step A/B: XLA one-hot key gather (round-2 default) vs the
         # VMEM one-hot Pallas kernel (ops/pallas/gather_rows). Run on an

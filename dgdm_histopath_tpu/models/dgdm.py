@@ -74,6 +74,11 @@ class DGDMModel(nn.Module):
     # fused so the buffers never pay full f32 traffic, and the converts
     # add work. Knob kept for direct-attached-HBM revalidation.
     attention_traffic_dtype: Optional[str] = None
+    # block-local spatial attention along the (Morton-sorted) node order:
+    # each W-block attends to 3W keys instead of all N — an opt-in scaling
+    # lever for 2048+-node buckets (see nn.attention.SpatialAttention);
+    # requires TissueGraphBuilder(spatial_sort=True) to be meaningful
+    spatial_window: Optional[int] = None
 
     def _validate(self) -> None:
         # mirrors reference _validate_configuration (:192-242)
@@ -91,6 +96,8 @@ class DGDMModel(nn.Module):
                                                 "float16"):
             raise ConfigurationError(
                 "attention_traffic_dtype must be None|bfloat16|float16|float32")
+        if self.spatial_window is not None and self.spatial_window <= 0:
+            raise ConfigurationError("spatial_window must be positive")
 
     def setup(self):
         self._validate()
@@ -112,6 +119,7 @@ class DGDMModel(nn.Module):
             self.spatial_attention = SpatialAttention(
                 embed_dim=hidden, num_heads=self.attention_heads,
                 dropout=self.dropout, dtype=dtype, param_dtype=pdtype,
+                window_size=self.spatial_window,
                 traffic_dtype=(None if self.attention_traffic_dtype is None
                                else _as_dtype(self.attention_traffic_dtype)))
         if self.use_hierarchical:

@@ -173,6 +173,17 @@ class SpatialAttention(nn.Module):
     OFF by default and XLA's fused dense attention is the production path.
     ``use_flash=True`` (or lowering ``flash_auto_min_nodes``) opts in for
     wide-head workloads.
+
+    ``window_size=W`` (opt-in) replaces the dense N×N pass with block-local
+    attention along the node ORDER: each W-block of queries attends to its
+    own and the two adjacent key blocks (3W keys), cutting attention
+    FLOPs/traffic to 3W/N of dense. Spatially meaningful only when nodes are
+    Morton-sorted (``TissueGraphBuilder(spatial_sort=True)`` /
+    ``parallel.halo.spatial_sort``), where curve-adjacent blocks are spatial
+    neighborhoods and the −dist/τ bias suppresses the wrapped far-end
+    blocks. This is an approximation of the reference's all-pairs semantics —
+    default off; an explicit scaling lever for 2048+-node buckets. Falls
+    back to dense when N % W != 0, N/W < 3, or weights are requested.
     """
 
     embed_dim: int
@@ -181,6 +192,7 @@ class SpatialAttention(nn.Module):
     distance_tau: float = 0.1
     use_flash: bool = False
     flash_auto_min_nodes: int = 1 << 30   # auto-flash disabled by default
+    window_size: Optional[int] = None     # block-local attention (see above)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     # storage dtype of the [B,H,N,N] logits/weights HBM buffers (softmax
@@ -221,12 +233,50 @@ class SpatialAttention(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype)
         q, k_, v_ = dg("q_proj")(h), dg("k_proj")(h), dg("v_proj")(h)
 
+        window_ok = (self.window_size is not None and not return_weights
+                     and n % (self.window_size or 1) == 0
+                     and n // self.window_size >= 3)
+
         weights = None
         if flash_ok:
             from ..ops.pallas.flash_spatial import flash_spatial_attention
             ctx = flash_spatial_attention(
                 q, k_, v_, pos.astype(jnp.float32), node_mask,
                 tau=self.distance_tau)
+        elif window_ok:
+            w = self.window_size
+            nb = n // w
+            lead = x.shape[:-2]
+            posf = pos.astype(jnp.float32)
+            qb = q.reshape(*lead, nb, w, self.num_heads, head_dim)
+            kb = k_.reshape(*lead, nb, w, self.num_heads, head_dim)
+            vb = v_.reshape(*lead, nb, w, self.num_heads, head_dim)
+            blk_ax = len(lead)           # the nb axis
+            item_ax = blk_ax + 1         # the within-block axis
+
+            def widen(t):
+                # own + previous + next block along the node order
+                return jnp.concatenate(
+                    [jnp.roll(t, 1, blk_ax), t, jnp.roll(t, -1, blk_ax)],
+                    axis=item_ax)
+
+            kw_, vw_ = widen(kb), widen(vb)          # [.., nb, 3w, H, hd]
+            kpos = widen(posf.reshape(*lead, nb, w, 2))
+            kmask = widen(node_mask.reshape(*lead, nb, w))
+            qpos = posf.reshape(*lead, nb, w, 2)
+            dx = qpos[..., :, None, 0] - kpos[..., None, :, 0]
+            dy = qpos[..., :, None, 1] - kpos[..., None, :, 1]
+            dist = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-12))
+            bias = (-dist / self.distance_tau)[..., None, :, :]
+            dropout_rng = None
+            if self.dropout > 0.0 and not deterministic:
+                dropout_rng = self.make_rng("dropout")
+            ctx, _ = scaled_dot_product_attention(
+                qb, kw_, vw_, bias=bias, key_mask=kmask,
+                dropout_rng=dropout_rng, dropout_rate=self.dropout,
+                deterministic=deterministic,
+                traffic_dtype=self.traffic_dtype)
+            ctx = ctx.reshape(*lead, n, self.num_heads, head_dim)
         else:
             # dense path: explicit [B, 1, N, N] distance bias. Per-component
             # broadcast differences, NOT |a|²+|b|²−2ab: the matmul form

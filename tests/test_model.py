@@ -90,6 +90,72 @@ class TestNNBlocks:
         # and the compressed path still masks padded nodes exactly
         assert float(jnp.abs(b[:, 24:]).max()) == 0.0
 
+    def test_spatial_attention_windowed(self):
+        """Block-local windowed attention: identical params to dense,
+        mask-correct, and — with a sharp distance bias on Morton-sorted
+        nodes — close to the dense all-pairs result."""
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+        from conftest import make_synthetic_graph
+        from dgdm_histopath_tpu.ops.graph import batch_graphs
+
+        gs = [spatial_sort(make_synthetic_graph(
+            seed=i, n_nodes=64, n_real=56, feat_dim=16)) for i in range(2)]
+        g = batch_graphs(gs)
+        # sharp bias: effective attention radius << window span
+        dense = SpatialAttention(embed_dim=16, num_heads=4,
+                                 distance_tau=0.02, dtype=jnp.float32)
+        windowed = SpatialAttention(embed_dim=16, num_heads=4,
+                                    distance_tau=0.02, window_size=16,
+                                    dtype=jnp.float32)
+        params = dense.init(jax.random.PRNGKey(0), g.x, g.pos, g.node_mask)
+        a = np.asarray(dense.apply(params, g.x, g.pos, g.node_mask))
+        b = np.asarray(windowed.apply(params, g.x, g.pos, g.node_mask))
+        assert b.shape == a.shape
+        # padded nodes zero
+        pad = ~np.asarray(g.node_mask)
+        assert np.abs(b[pad]).max() == 0.0
+        # local approximation of the dense result
+        real = np.asarray(g.node_mask)
+        err = np.abs(a[real] - b[real]).max()
+        ref = np.abs(a[real]).max()
+        assert err < 0.15 * ref, (err, ref)
+
+    def test_spatial_attention_window_mask_invariance(self):
+        """Changing PADDED node features/positions must not change real-node
+        outputs (repo mask-correctness rule)."""
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+        from conftest import make_synthetic_graph
+        from dgdm_histopath_tpu.ops.graph import batch_graphs
+
+        g = batch_graphs([spatial_sort(make_synthetic_graph(
+            seed=3, n_nodes=64, n_real=48, feat_dim=16))])
+        sa = SpatialAttention(embed_dim=16, num_heads=4, window_size=16,
+                              dtype=jnp.float32)
+        params = sa.init(jax.random.PRNGKey(0), g.x, g.pos, g.node_mask)
+        out1 = np.asarray(sa.apply(params, g.x, g.pos, g.node_mask))
+        x2 = np.asarray(g.x).copy()
+        p2 = np.asarray(g.pos).copy()
+        pad = ~np.asarray(g.node_mask)
+        x2[pad] = 7.7
+        p2[pad] = 0.123
+        out2 = np.asarray(sa.apply(params, jnp.asarray(x2), jnp.asarray(p2),
+                                   g.node_mask))
+        real = np.asarray(g.node_mask)
+        np.testing.assert_allclose(out1[real], out2[real], atol=1e-6)
+
+    def test_spatial_attention_window_fallback(self):
+        """N/W < 3 (or indivisible N) silently takes the dense path —
+        outputs bit-match the unwindowed module with the same params."""
+        g = small_batch(feat_dim=16)
+        n = g.x.shape[1]
+        dense = SpatialAttention(embed_dim=16, num_heads=4, dtype=jnp.float32)
+        wide = SpatialAttention(embed_dim=16, num_heads=4,
+                                window_size=n // 2, dtype=jnp.float32)
+        params = dense.init(jax.random.PRNGKey(0), g.x, g.pos, g.node_mask)
+        a = np.asarray(dense.apply(params, g.x, g.pos, g.node_mask))
+        b = np.asarray(wide.apply(params, g.x, g.pos, g.node_mask))
+        np.testing.assert_array_equal(a, b)
+
     def test_graph_unet(self):
         g = small_batch(feat_dim=16)
         unet = GraphUNet(features=16, depth=2, num_heads=4, dtype=jnp.float32)
@@ -207,6 +273,16 @@ class TestDGDMModel:
         assert out["classification_logits"].shape == (2, 3)
         assert out["graph_embedding"].shape == (2, 16)
         assert out["node_embeddings"].shape == (2, 32, 16)
+        assert np.all(np.isfinite(np.asarray(out["classification_logits"])))
+
+    def test_inference_forward_spatial_window(self):
+        """spatial_window plumbs through to SpatialAttention: same param
+        structure as dense (pure formulation change), finite logits."""
+        g = small_batch(num_classes=3, feat_dim=32)   # N=32 -> 4 blocks of 8
+        dense = self.make_model()
+        windowed = self.make_model(spatial_window=8)
+        params = self.init_params(dense, g)
+        out = windowed.apply(params, g, mode="inference")
         assert np.all(np.isfinite(np.asarray(out["classification_logits"])))
 
     def test_pretrain_step_losses(self):

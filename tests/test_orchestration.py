@@ -102,7 +102,11 @@ class TestScheduler:
     def test_monitor_thread(self):
         s = QuantumScheduler(monitor_interval=0.05)
         with s:
-            time.sleep(0.2)
+            # poll-wait: a fixed 0.2 s sleep flaked under full-suite load on
+            # the 1-core host (the monitor thread never got scheduled)
+            deadline = time.time() + 10.0
+            while not s.resource_history and time.time() < deadline:
+                time.sleep(0.05)
         assert len(s.resource_history) >= 1
 
     def test_failed_job_recorded(self):
