@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     bg.add_argument("--k-morphological", type=int, default=16)
     bg.add_argument("--node-buckets", type=str, default="128,256,512,1024,2048")
     bg.add_argument("--feature-batch-size", type=int, default=256)
+    bg.add_argument("--spatial-sort", action="store_true", default=False,
+                    help="Morton-order nodes (enables halo SP / windowed "
+                         "spatial attention)")
     bg.add_argument("--log-level", default="INFO")
 
     vp = sub.add_parser("validate-preprocessing", help="check outputs")
@@ -106,7 +109,8 @@ def build_graphs(args) -> int:
         feature_extractor=args.feature_extractor,
         k_spatial=args.k_spatial, k_morphological=args.k_morphological,
         node_buckets=[int(b) for b in args.node_buckets.split(",")],
-        feature_batch_size=args.feature_batch_size)
+        feature_batch_size=args.feature_batch_size,
+        spatial_sort=args.spatial_sort)
     failed = 0
     for f in files:
         target = out_dir / f"{f.stem}_graph.npz"

@@ -182,7 +182,8 @@ def _build_dataset(cfg: DGDMConfig, args):
         max_patches=cfg.data.max_patches)
     builder = TissueGraphBuilder(
         feature_extractor=cfg.data.feature_extractor,
-        node_buckets=cfg.data.node_buckets)
+        node_buckets=cfg.data.node_buckets,
+        spatial_sort=getattr(cfg.data, "spatial_sort", False))
     paths = sorted(p for p in data_dir.rglob("*")
                    if p.suffix.lower() in (".svs", ".tiff", ".tif", ".ndpi", ".wsi"))
     return SlideDataset(paths, processor=proc, graph_builder=builder,

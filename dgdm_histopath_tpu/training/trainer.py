@@ -543,7 +543,8 @@ class DGDMTrainer:
             edge_features=m.edge_features, compute_dtype=m.compute_dtype,
             param_dtype=m.param_dtype,
             attention_traffic_dtype=getattr(m, "attention_traffic_dtype",
-                                            None))
+                                            None),
+            spatial_window=getattr(m, "spatial_window", None))
         hw = cfg.hardware
         if mesh is None and getattr(hw, "mesh_shape", None):
             # config-driven mesh: e.g. mesh_shape [2, 4] + mesh_axes

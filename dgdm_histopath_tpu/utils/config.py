@@ -66,6 +66,9 @@ class ModelConfig:
     # spatial attention [B,H,N,N] HBM-buffer dtype; softmax math stays f32.
     # None (f32) measured fastest whole-program — ADR-0004 add.5
     attention_traffic_dtype: Optional[str] = None
+    # block-local spatial attention window (None = dense all-pairs parity);
+    # requires Morton-sorted nodes (data.spatial_sort) to be meaningful
+    spatial_window: Optional[int] = None
 
 
 @dataclass
@@ -85,6 +88,9 @@ class DataConfig:
     tissue_threshold: float = 0.8
     max_patches: int = 1000
     feature_extractor: str = "dinov2"
+    # Morton-order nodes at graph build (semantic no-op; enables the
+    # halo-exchange SP path and windowed spatial attention)
+    spatial_sort: bool = False
     # TPU-native: node-count padding buckets to bound recompilation
     node_buckets: List[int] = field(default_factory=lambda: [128, 256, 512, 1024, 2048])
 
