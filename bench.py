@@ -400,6 +400,24 @@ def main():
         print(json.dumps({"metric": "ab_spatial_window_base_b32",
                           "rows": rows}))
         return
+    if "--ab-window-large" in sys.argv:
+        # the windowed pass at its actual target: DGDM-Large's 2048-node
+        # bucket, where the N^2 spatial term is 4x the Base share
+        rows = []
+        for tag, ov in (("dense", {}), ("window256", {"spatial_window": 256}),
+                        ("window128", {"spatial_window": 128})):
+            r = bench_config(f"winL_{tag}", node_features=1024,
+                             hidden_dims=(768, 512, 256, 128), num_steps=20,
+                             heads=16, layers=4, nodes=2048, n_real=2000,
+                             batch=4, n_iters=10, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_spatial_window_large_b4",
+                          "rows": rows}))
+        return
     if "--ab-key-gather" in sys.argv:
         # whole-step A/B: XLA one-hot key gather (round-2 default) vs the
         # VMEM one-hot Pallas kernel (ops/pallas/gather_rows). Run on an
