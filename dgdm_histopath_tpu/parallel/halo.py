@@ -147,6 +147,10 @@ def build_halo_plan(nbr_idx: np.ndarray, nbr_mask: np.ndarray, tp: int,
     ``halo_size`` pins H for a stable compiled shape across batches (the
     production setting: one H per node bucket, validated here); default is
     the observed max. Raises if any (src, dst) pair needs more than H rows.
+
+    Host cost: ~22 ms (tp=4) / ~60 ms (tp=8) for a batch-32 × 1024-node
+    bucket on the 1-core dev host — run it in the loader's prefetch thread
+    (data/datamodule.py) so it overlaps the previous device step.
     """
     idx = np.asarray(nbr_idx)
     msk = np.asarray(nbr_mask, bool)
