@@ -418,6 +418,49 @@ def main():
         print(json.dumps({"metric": "ab_spatial_window_large_b4",
                           "rows": rows}))
         return
+    if "--ab-band" in sys.argv:
+        # whole-step A/B of banded (Morton-window) message passing: the
+        # encoder's [N,N] weighted-adjacency matmuls + one-hot key gather
+        # become [nb,W,3W] banded forms (ops.graph banded helpers). Third
+        # row stacks the windowed spatial attention on top — the combined
+        # scaling config. Speed-only question (semantics gated separately
+        # by scripts/eval_camelyon16.py --ab-window); paired in one process.
+        rows = []
+        for tag, ov in (("dense", {}),
+                        ("band64", {"graph_window": 64}),
+                        ("band64_win64", {"graph_window": 64,
+                                          "spatial_window": 64})):
+            r = bench_config(f"band_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_graph_window_base_b32", "rows": rows}))
+        return
+    if "--ab-band-large" in sys.argv:
+        # banded message passing at DGDM-Large (2048-node bucket): the
+        # [N,N] adjacency share is 4x Base. window128 matches the measured
+        # spatial-window optimum there (ADR-0004 add.9).
+        rows = []
+        for tag, ov in (("dense", {}),
+                        ("band128", {"graph_window": 128}),
+                        ("band128_win128", {"graph_window": 128,
+                                            "spatial_window": 128})):
+            r = bench_config(f"bandL_{tag}", node_features=1024,
+                             hidden_dims=(768, 512, 256, 128), num_steps=20,
+                             heads=16, layers=4, nodes=2048, n_real=2000,
+                             batch=4, n_iters=10, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_graph_window_large_b4", "rows": rows}))
+        return
     if "--ab-key-gather" in sys.argv:
         # whole-step A/B: XLA one-hot key gather (round-2 default) vs the
         # VMEM one-hot Pallas kernel (ops/pallas/gather_rows). Run on an

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     bg.add_argument("--spatial-sort", action="store_true", default=False,
                     help="Morton-order nodes (enables halo SP / windowed "
                          "spatial attention)")
+    bg.add_argument("--knn-window", type=int, default=None,
+                    help="restrict kNN edges to the ±1 Morton block band of "
+                         "this width (implies --spatial-sort) so banded "
+                         "model compute (model.graph_window) is exact")
     bg.add_argument("--log-level", default="INFO")
 
     vp = sub.add_parser("validate-preprocessing", help="check outputs")
@@ -110,7 +114,8 @@ def build_graphs(args) -> int:
         k_spatial=args.k_spatial, k_morphological=args.k_morphological,
         node_buckets=[int(b) for b in args.node_buckets.split(",")],
         feature_batch_size=args.feature_batch_size,
-        spatial_sort=args.spatial_sort)
+        spatial_sort=args.spatial_sort or args.knn_window is not None,
+        knn_window=args.knn_window)
     failed = 0
     for f in files:
         target = out_dir / f"{f.stem}_graph.npz"

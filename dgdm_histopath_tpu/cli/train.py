@@ -183,7 +183,8 @@ def _build_dataset(cfg: DGDMConfig, args):
     builder = TissueGraphBuilder(
         feature_extractor=cfg.data.feature_extractor,
         node_buckets=cfg.data.node_buckets,
-        spatial_sort=getattr(cfg.data, "spatial_sort", False))
+        spatial_sort=getattr(cfg.data, "spatial_sort", False),
+        knn_window=getattr(cfg.data, "knn_window", None))
     paths = sorted(p for p in data_dir.rglob("*")
                    if p.suffix.lower() in (".svs", ".tiff", ".tif", ".ndpi", ".wsi"))
     return SlideDataset(paths, processor=proc, graph_builder=builder,

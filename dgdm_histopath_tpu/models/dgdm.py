@@ -79,6 +79,14 @@ class DGDMModel(nn.Module):
     # lever for 2048+-node buckets (see nn.attention.SpatialAttention);
     # requires TissueGraphBuilder(spatial_sort=True) to be meaningful
     spatial_window: Optional[int] = None
+    # banded (Morton-window) message passing in the GraphEncoder: key
+    # gather + conv aggregation run over the ±1-block band (3W keys)
+    # instead of all N, dropping out-of-band edges from messages and
+    # degree norm. EXACT on graphs built with
+    # ``TissueGraphBuilder(spatial_sort=True, knn_window=W)``; an
+    # approximation otherwise. The U-Net keeps dense aggregation (pooled
+    # levels break Morton contiguity). Default off, like spatial_window.
+    graph_window: Optional[int] = None
 
     def _validate(self) -> None:
         # mirrors reference _validate_configuration (:192-242)
@@ -98,6 +106,8 @@ class DGDMModel(nn.Module):
                 "attention_traffic_dtype must be None|bfloat16|float16|float32")
         if self.spatial_window is not None and self.spatial_window <= 0:
             raise ConfigurationError("spatial_window must be positive")
+        if self.graph_window is not None and self.graph_window <= 0:
+            raise ConfigurationError("graph_window must be positive")
 
     def setup(self):
         self._validate()
@@ -114,6 +124,7 @@ class DGDMModel(nn.Module):
             num_heads=self.attention_heads, edge_dim=self.edge_features,
             dropout=self.dropout, activation=self.activation,
             remat=self.use_remat, gather_impl=self.gather_impl,
+            band_window=self.graph_window,
             dtype=dtype, param_dtype=pdtype)
         if self.use_spatial_attention:
             self.spatial_attention = SpatialAttention(

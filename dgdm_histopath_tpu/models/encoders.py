@@ -85,6 +85,7 @@ class GraphEncoder(nn.Module):
     activation: str = "gelu"
     remat: bool = False   # jax.checkpoint each layer: FLOPs for HBM
     gather_impl: str = "auto"  # auto | onehot | xla(take) | pallas
+    band_window: Optional[int] = None  # banded message passing (ops.graph)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -116,7 +117,7 @@ class GraphEncoder(nn.Module):
         for i in range(self.num_layers):
             result = layer_cls(
                 self.hidden_dim, self.num_heads, self.dropout, name=f"layer{i}",
-                gather_impl=self.gather_impl,
+                gather_impl=self.gather_impl, band_window=self.band_window,
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )(h, nbr_idx, masked_nbr, e, deterministic, return_attention)
             if return_attention:

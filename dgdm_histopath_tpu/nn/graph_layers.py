@@ -45,6 +45,12 @@ class GraphConvolution(nn.Module):
     features: int
     use_edge_features: bool = True
     gather_impl: str = "auto"  # auto | onehot | xla(take) | pallas
+    # banded (Morton-window) aggregation: the [N, N] weighted adjacency
+    # becomes [nb, W, 3W] and message matmuls cost N·3W·F instead of N²·F
+    # (ops.graph banded helpers). Out-of-band edges are dropped — exact on
+    # graphs built with TissueGraphBuilder(knn_window=...). Applies only
+    # when band_eligible(N, W); otherwise the dense path runs.
+    band_window: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -60,6 +66,8 @@ class GraphConvolution(nn.Module):
         edge_sum: Optional[jnp.ndarray] = None,    # [..., N, E] precomputed Σ_k weight·e
         self_norm: Optional[jnp.ndarray] = None,   # [..., N] required with adj/edge_sum
     ) -> jnp.ndarray:
+        from ..ops.graph import band_eligible, banded_conv_agg
+        banded = band_eligible(x.shape[-2], self.band_window)
         w = nn.Dense(self.features, use_bias=False, name="lin",
                      dtype=self.dtype, param_dtype=self.param_dtype)
         h = w(x)                                             # transform-then-gather: one matmul
@@ -67,8 +75,12 @@ class GraphConvolution(nn.Module):
             # caller hoisted the (identical) adjacency/edge-sum build shared
             # by sibling convs — e.g. DynamicGraphLayer's conv1/conv2, which
             # see the same (nbr_idx, edge_weight); guarantees the dedup
-            # whether or not XLA CSEs the twin reduce fusions
-            agg = jnp.einsum("...nm,...mf->...nf", adj.astype(h.dtype), h)
+            # whether or not XLA CSEs the twin reduce fusions. A banded
+            # caller hands over the [.., nb, W, 3W] adjacency instead.
+            if banded and adj.ndim == h.ndim + 1:   # [.., nb, W, 3W] banded
+                agg = banded_conv_agg(adj.astype(h.dtype), h, self.band_window)
+            else:
+                agg = jnp.einsum("...nm,...mf->...nf", adj.astype(h.dtype), h)
             if self.use_edge_features and edge_sum is not None:
                 agg = agg + nn.Dense(self.features, use_bias=False,
                                      name="edge_lin", dtype=self.dtype,
@@ -78,6 +90,11 @@ class GraphConvolution(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               self.param_dtype)
             return out + bias.astype(out.dtype)
+        rel_idx = None
+        if banded:
+            from ..ops.graph import banded_relative_neighbors
+            rel_idx, nbr_mask = banded_relative_neighbors(
+                nbr_idx, nbr_mask, self.band_window)
         norm, self_norm = symmetric_norm(nbr_idx, nbr_mask)
         weight = norm.astype(h.dtype)
         if edge_weight is not None:
@@ -97,7 +114,12 @@ class GraphConvolution(nn.Module):
             # accelerator; plain take on CPU (where gathers are fine).
             from ..ops.graph import resolve_gather_impl
             impl = "xla" if resolve_gather_impl() == "take" else "onehot"
-        if impl == "pallas" and h.ndim == 3:
+        if banded:
+            from ..ops.graph import banded_weighted_adjacency
+            wmat = banded_weighted_adjacency(rel_idx, weight,
+                                             self.band_window, h.dtype)
+            agg = banded_conv_agg(wmat, h, self.band_window)
+        elif impl == "pallas" and h.ndim == 3:
             from ..ops.pallas.gather_agg import weighted_gather_sum
             agg = weighted_gather_sum(h, nbr_idx,
                                       weight.astype(jnp.float32)).astype(h.dtype)
@@ -136,6 +158,11 @@ class DynamicGraphLayer(nn.Module):
     num_heads: int = 8
     dropout: float = 0.0
     gather_impl: str = "auto"
+    # banded (Morton-window) formulation: key gather + both convs run over
+    # the ±1-block band (3W keys) instead of all N; out-of-band edges are
+    # dropped from messages AND from the degree normalization. See
+    # GraphConvolution.band_window / ops.graph banded helpers.
+    band_window: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -154,6 +181,13 @@ class DynamicGraphLayer(nn.Module):
         head_dim = f // heads
         if head_dim * heads != f:
             raise ValueError("features must be divisible by num_heads")
+        from ..ops.graph import band_eligible
+        banded = band_eligible(x.shape[-2], self.band_window)
+        rel_idx = None
+        if banded:
+            from ..ops.graph import banded_relative_neighbors
+            rel_idx, nbr_mask = banded_relative_neighbors(
+                nbr_idx, nbr_mask, self.band_window)
 
         x_in = nn.Dense(f, name="in_proj", dtype=self.dtype,
                         param_dtype=self.param_dtype)(x) if x.shape[-1] != f else x
@@ -179,8 +213,13 @@ class DynamicGraphLayer(nn.Module):
         # 2218→1288 GF but SLOWS the step 77.5→135.4 ms — the tiny per-node
         # selection matmuls map terribly onto the MXU. The straight one-hot
         # key gather below is the fastest measured formulation.
-        k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx,
-                                 impl=k_impl)                     # [..., N, K, H*D]
+        if banded:
+            from ..ops.graph import banded_gather_neighbors
+            k_nbr = banded_gather_neighbors(k.reshape(*k.shape[:-2], f),
+                                            rel_idx, self.band_window)
+        else:
+            k_nbr = gather_neighbors(k.reshape(*k.shape[:-2], f), nbr_idx,
+                                     impl=k_impl)                 # [..., N, K, H*D]
         k_nbr = k_nbr.reshape(*k_nbr.shape[:-1], heads, head_dim)
         scores = jnp.einsum("...nhd,...nkhd->...nkh", q,
                             k_nbr).astype(jnp.float32)
@@ -216,25 +255,32 @@ class DynamicGraphLayer(nn.Module):
         # the precomputed tensors (VERDICT r2 #3 — explicit hoist instead of
         # trusting XLA to CSE the twin [N,K,N] reduce fusions)
         adj = edge_sum = hoisted_self_norm = None
-        if (k_impl in ("onehot", "pallas_rows")
-                and self.gather_impl in ("auto", "onehot")):
-            from ..ops.graph import weighted_adjacency
+        if banded or (k_impl in ("onehot", "pallas_rows")
+                      and self.gather_impl in ("auto", "onehot")):
             norm, hoisted_self_norm = symmetric_norm(nbr_idx, nbr_mask)
             cw = (norm.astype(self.dtype) * edge_weight.astype(self.dtype)
                   * nbr_mask.astype(self.dtype))
-            adj = weighted_adjacency(nbr_idx, cw, x_in.shape[-2], self.dtype)
+            if banded:
+                from ..ops.graph import banded_weighted_adjacency
+                adj = banded_weighted_adjacency(rel_idx, cw,
+                                                self.band_window, self.dtype)
+            else:
+                from ..ops.graph import weighted_adjacency
+                adj = weighted_adjacency(nbr_idx, cw, x_in.shape[-2],
+                                         self.dtype)
             if edge_attr is not None:
                 edge_sum = jnp.sum(edge_attr.astype(self.dtype)
                                    * cw[..., None], axis=-2)
+        conv_band = self.band_window if banded else None
         h = GraphConvolution(f, name="conv1", gather_impl=self.gather_impl,
-                             dtype=self.dtype,
+                             band_window=conv_band, dtype=self.dtype,
                              param_dtype=self.param_dtype)(
             x_in, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight,
             adj=adj, edge_sum=edge_sum, self_norm=hoisted_self_norm)
         h = nn.gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = GraphConvolution(f, name="conv2", gather_impl=self.gather_impl,
-                             dtype=self.dtype,
+                             band_window=conv_band, dtype=self.dtype,
                              param_dtype=self.param_dtype)(
             h, nbr_idx, nbr_mask, edge_attr, edge_weight=edge_weight,
             adj=adj, edge_sum=edge_sum, self_norm=hoisted_self_norm)

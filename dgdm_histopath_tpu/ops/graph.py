@@ -197,6 +197,118 @@ def symmetric_norm(nbr_idx: jnp.ndarray, nbr_mask: jnp.ndarray) -> Tuple[jnp.nda
     return edge_norm, self_norm
 
 
+# ---------------------------------------------------------------------------
+# Banded (Morton-window) message passing
+#
+# With nodes in spatial-sort (Morton) order split into nb = N/W contiguous
+# blocks, a node in block b may address neighbors in blocks [b-1, b+1] — the
+# same ±1-block band the windowed SpatialAttention uses (ADR-0004 add.9).
+# The dense [N, N] weighted adjacency then becomes [nb, W, 3W] and message
+# aggregation costs N·3W·F MACs instead of N²·F. Out-of-band neighbor slots
+# are masked off (and excluded from the degree normalization), so the banded
+# layer computes EXACTLY the dense layer on the band-pruned graph; pair with
+# ``TissueGraphBuilder(spatial_sort=True, knn_window=...)`` to build graphs
+# whose edges are all in-band by construction.
+# ---------------------------------------------------------------------------
+
+def band_eligible(n: int, window: Optional[int]) -> bool:
+    """Banded layout applies when the bucket splits into >= 3 whole blocks."""
+    return (window is not None and window > 0 and n % window == 0
+            and n // window >= 3)
+
+
+def banded_relative_neighbors(nbr_idx: jnp.ndarray, nbr_mask: jnp.ndarray,
+                              window: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Absolute neighbor indices -> band-relative indices.
+
+    nbr_idx/nbr_mask [..., N, K] -> (rel_idx [..., N, K] in [0, 3W),
+    in_band [..., N, K]). Node i in block b = i // W addresses the widened
+    key range [(b-1)·W, (b+2)·W); a neighbor outside it gets rel 0 and
+    in_band False (edge dropped). ``in_band`` is already ANDed with
+    ``nbr_mask``.
+    """
+    n = nbr_idx.shape[-2]
+    base = ((jnp.arange(n, dtype=nbr_idx.dtype) // window) - 1) * window
+    rel = nbr_idx - base[:, None]
+    ok = (rel >= 0) & (rel < 3 * window) & nbr_mask
+    return jnp.where(ok, rel, 0).astype(nbr_idx.dtype), ok
+
+
+def band_widen(t: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[..., N, F] -> [..., nb, 3W, F]: each block's previous + own + next
+    block along the node order. The ends roll-wrap, but wrapped rows are
+    unaddressable: relative indices from ``banded_relative_neighbors`` can
+    never land on them (block 0's prev slots would need a negative absolute
+    index, block nb-1's next slots one >= N)."""
+    *lead, n, f = t.shape
+    nb = n // window
+    b = t.reshape(*lead, nb, window, f)
+    ax = len(lead)
+    return jnp.concatenate(
+        [jnp.roll(b, 1, axis=ax), b, jnp.roll(b, -1, axis=ax)], axis=ax + 1)
+
+
+def banded_weighted_adjacency(rel_idx: jnp.ndarray, weight: jnp.ndarray,
+                              window: int,
+                              dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Banded analogue of :func:`weighted_adjacency`.
+
+    A[..., b, i, m] = Σ_k weight[..., bW+i, k] · [rel_idx[..., bW+i, k] == m]
+    with m over the 3W widened key slots. Same fused compare·multiply·reduce
+    build — only the [..., nb, W, 3W] result hits HBM (3W/N of the dense
+    adjacency's footprint).
+    """
+    *lead, n, k = rel_idx.shape
+    nb = n // window
+    r = rel_idx.reshape(*lead, nb, window, k)
+    w = weight.reshape(*lead, nb, window, k)
+    sel = r[..., None] == jnp.arange(3 * window, dtype=rel_idx.dtype)
+    contrib = jnp.where(sel, w[..., None].astype(jnp.float32), 0.0)
+    return jnp.sum(contrib, axis=-2).astype(dtype)
+
+
+def banded_conv_agg(adj_band: jnp.ndarray, h: jnp.ndarray,
+                    window: int) -> jnp.ndarray:
+    """Aggregate messages with a banded adjacency:
+    [..., nb, W, 3W] @ band_widen(h) -> [..., N, F]."""
+    *lead, n, f = h.shape
+    hb = band_widen(h, window)
+    out = jnp.einsum("...bwm,...bmf->...bwf", adj_band, hb.astype(adj_band.dtype))
+    return out.reshape(*lead, n, f)
+
+
+def banded_gather_neighbors(x: jnp.ndarray, rel_idx: jnp.ndarray,
+                            window: int) -> jnp.ndarray:
+    """Banded one-hot neighbor gather: x [..., N, F], rel_idx [..., N, K]
+    (from :func:`banded_relative_neighbors`) -> [..., N, K, F]. The one-hot
+    contraction runs over the 3W widened keys instead of all N."""
+    *lead, n, f = x.shape
+    k = rel_idx.shape[-1]
+    nb = n // window
+    xb = band_widen(x, window)
+    r = rel_idx.reshape(*lead, nb, window, k)
+    sel = (r[..., None] == jnp.arange(3 * window, dtype=rel_idx.dtype)
+           ).astype(x.dtype)
+    out = jnp.einsum("...bwkm,...bmf->...bwkf", sel, xb)
+    return out.reshape(*lead, n, k, f)
+
+
+def in_band_fraction(nbr_idx, nbr_mask, window: int) -> float:
+    """Host diagnostic: fraction of real edges a banded model can address.
+
+    1.0 means banded compute is exact on this graph (guaranteed when it was
+    built with ``TissueGraphBuilder(knn_window=window)``); lower values
+    quantify the edges an unconstrained graph would lose to band pruning.
+    """
+    idx = np.asarray(nbr_idx)
+    m = np.asarray(nbr_mask, bool)
+    n = idx.shape[-2]
+    base = (np.arange(n) // window - 1) * window
+    rel = idx - base[:, None]
+    ok = (rel >= 0) & (rel < 3 * window) & m
+    return float(ok.sum() / max(m.sum(), 1))
+
+
 def compact_top_k_nodes(
     x: jnp.ndarray,          # [..., N, F]
     nbr_idx: jnp.ndarray,    # [..., N, K]

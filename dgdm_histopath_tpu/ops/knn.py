@@ -33,12 +33,14 @@ def _pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(aa - 2.0 * ab + bb, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exclude_self"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "exclude_self", "band_window"))
 def knn_euclidean(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     k: int,
     exclude_self: bool = True,
+    band_window: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """kNN by euclidean distance.
 
@@ -57,6 +59,8 @@ def knn_euclidean(
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
     invalid_col = ~mask[None, :]
     d2 = jnp.where(invalid_col, big, d2)
+    if band_window is not None:
+        d2 = jnp.where(_band_mask(n, band_window), d2, big)
     if exclude_self:
         d2 = jnp.where(jnp.eye(n, dtype=bool), big, d2)
     neg_d2, idx = jax.lax.top_k(-d2, k)                        # nearest = largest -d2
@@ -68,12 +72,14 @@ def knn_euclidean(
     return idx, dist, valid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exclude_self"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "exclude_self", "band_window"))
 def knn_cosine(
     features: jnp.ndarray,
     mask: jnp.ndarray,
     k: int,
     exclude_self: bool = True,
+    band_window: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """kNN by cosine similarity (morphological edges).
 
@@ -87,6 +93,8 @@ def knn_cosine(
                   precision=jax.lax.Precision.HIGHEST)  # [N, N]
     neg = jnp.asarray(-2.0, jnp.float32)
     sim = jnp.where(~mask[None, :], neg, sim)
+    if band_window is not None:
+        sim = jnp.where(_band_mask(n, band_window), sim, neg)
     if exclude_self:
         sim = jnp.where(jnp.eye(n, dtype=bool), neg, sim)
     top_sim, idx = jax.lax.top_k(sim, k)
@@ -94,6 +102,19 @@ def knn_cosine(
     idx = jnp.where(valid, idx, 0).astype(jnp.int32)
     top_sim = jnp.where(valid, top_sim, 0.0)
     return idx, top_sim, valid
+
+
+def _band_mask(n: int, window: int) -> jnp.ndarray:
+    """[N, N] True where candidate j lies in query i's ±1 Morton block band.
+
+    With nodes pre-sorted in Morton order (row index == curve rank), this
+    restricts kNN candidates to the band the model's banded message passing
+    (``ops.graph`` banded helpers / ``DGDMModel(graph_window=...)``) can
+    address — the built graph is then in-band BY CONSTRUCTION and banded
+    compute is exact, not an approximation.
+    """
+    blk = jnp.arange(n, dtype=jnp.int32) // window
+    return jnp.abs(blk[:, None] - blk[None, :]) <= 1
 
 
 def spatial_edge_weights(dist: jnp.ndarray, decay: float = 10.0,
@@ -109,7 +130,8 @@ def spatial_edge_weights(dist: jnp.ndarray, decay: float = 10.0,
     return w * keep.astype(w.dtype), keep
 
 
-@functools.partial(jax.jit, static_argnames=("k_spatial", "k_morph"))
+@functools.partial(jax.jit,
+                   static_argnames=("k_spatial", "k_morph", "band_window"))
 def build_dual_knn(
     pos: jnp.ndarray,
     features: jnp.ndarray,
@@ -117,6 +139,7 @@ def build_dual_knn(
     k_spatial: int = 8,
     k_morph: int = 16,
     decay: float = 10.0,
+    band_window: int | None = None,
 ):
     """Build the combined spatial+morphological neighbor lists on device.
 
@@ -128,10 +151,12 @@ def build_dual_knn(
     the reference's dedup (``:354-365``) — keep-max semantics are recovered by
     attention downweighting rather than a host-side pass.
     """
-    s_idx, s_dist, s_mask = knn_euclidean(pos, mask, k_spatial)
+    s_idx, s_dist, s_mask = knn_euclidean(pos, mask, k_spatial,
+                                          band_window=band_window)
     s_w, s_keep = spatial_edge_weights(s_dist, decay=decay)
     s_mask = s_mask & s_keep
-    m_idx, m_sim, m_mask = knn_cosine(features, mask, k_morph)
+    m_idx, m_sim, m_mask = knn_cosine(features, mask, k_morph,
+                                      band_window=band_window)
 
     nbr_idx = jnp.concatenate([s_idx, m_idx], axis=1)
     nbr_mask = jnp.concatenate([s_mask, m_mask], axis=1)

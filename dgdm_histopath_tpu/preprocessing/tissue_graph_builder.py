@@ -51,6 +51,7 @@ class TissueGraphBuilder:
         feature_batch_size: int = 256,
         extractor: Optional[PatchFeatureExtractor] = None,
         spatial_sort: bool = False,
+        knn_window: Optional[int] = None,
     ):
         self.k_spatial = k_spatial
         self.k_morphological = k_morphological
@@ -63,6 +64,17 @@ class TissueGraphBuilder:
         # sharding of the node axis spatially local so the halo-exchange SP
         # path — parallel/halo.py, ADR-0005 add.2 — stays cheap)
         self.spatial_sort = spatial_sort
+        # restrict BOTH kNN searches to each node's ±1 Morton block band of
+        # width ``knn_window``: every edge of the built graph is then
+        # addressable by the model's banded message passing
+        # (``DGDMModel(graph_window=knn_window)``) — banded compute becomes
+        # exact by construction rather than an edge-dropping approximation.
+        # Morphological edges become band-local (nearest similar patches
+        # within the spatial neighborhood instead of slide-global).
+        # Requires spatial_sort.
+        if knn_window is not None and not spatial_sort:
+            raise ValueError("knn_window requires spatial_sort=True")
+        self.knn_window = knn_window
 
     @property
     def extractor(self) -> Optional[PatchFeatureExtractor]:
@@ -144,21 +156,26 @@ class TissueGraphBuilder:
         node_mask = np.zeros((target,), bool)
         node_mask[:n] = True
 
+        if self.spatial_sort:
+            # Morton-sort BEFORE edge construction: row index == curve rank,
+            # so knn_window band limits apply directly and the built edges
+            # reference sorted positions. Pad rows keep the max key and stay
+            # at the tail (node_mask unchanged).
+            from ..parallel.halo import morton_keys
+            order = np.argsort(morton_keys(p, node_mask), kind="stable")
+            x, p = x[order], p[order]
+
         with monitor_operation("build_knn_edges"):
             knn = build_dual_knn(
                 jnp.asarray(p), jnp.asarray(x), jnp.asarray(node_mask),
                 k_spatial=self.k_spatial, k_morph=self.k_morphological,
-                decay=self.spatial_decay)
+                decay=self.spatial_decay, band_window=self.knn_window)
 
         y = None if label is None else jnp.asarray(label)
-        graph = PaddedGraph(
+        return PaddedGraph(
             x=jnp.asarray(x), pos=jnp.asarray(p),
             nbr_idx=knn["nbr_idx"], nbr_mask=knn["nbr_mask"],
             edge_attr=knn["edge_attr"], node_mask=jnp.asarray(node_mask), y=y)
-        if self.spatial_sort:
-            from ..parallel.halo import spatial_sort as _morton
-            graph = _morton(graph)
-        return graph
 
     # ------------------------------------------------------------------
     def coarsen_graph(self, graph: PaddedGraph, ratio: float = 0.5) -> PaddedGraph:

@@ -544,7 +544,8 @@ class DGDMTrainer:
             param_dtype=m.param_dtype,
             attention_traffic_dtype=getattr(m, "attention_traffic_dtype",
                                             None),
-            spatial_window=getattr(m, "spatial_window", None))
+            spatial_window=getattr(m, "spatial_window", None),
+            graph_window=getattr(m, "graph_window", None))
         hw = cfg.hardware
         if mesh is None and getattr(hw, "mesh_shape", None):
             # config-driven mesh: e.g. mesh_shape [2, 4] + mesh_axes

@@ -69,6 +69,9 @@ class ModelConfig:
     # block-local spatial attention window (None = dense all-pairs parity);
     # requires Morton-sorted nodes (data.spatial_sort) to be meaningful
     spatial_window: Optional[int] = None
+    # banded (Morton-window) message passing in the GraphEncoder (None =
+    # dense parity); exact when graphs are built with data.knn_window
+    graph_window: Optional[int] = None
 
 
 @dataclass
@@ -91,6 +94,9 @@ class DataConfig:
     # Morton-order nodes at graph build (semantic no-op; enables the
     # halo-exchange SP path and windowed spatial attention)
     spatial_sort: bool = False
+    # restrict kNN searches to each node's ±1 Morton block band so banded
+    # model compute (model.graph_window) is exact by construction
+    knn_window: Optional[int] = None
     # TPU-native: node-count padding buckets to bound recompilation
     node_buckets: List[int] = field(default_factory=lambda: [128, 256, 512, 1024, 2048])
 

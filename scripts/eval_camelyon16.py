@@ -75,8 +75,8 @@ def discover_camelyon16(root: Path):
     return train, test
 
 
-def generate_synthetic_camelyon16(root: Path, n_per_class: int = 6,
-                                  n_test_per_class: int = 3,
+def generate_synthetic_camelyon16(root: Path, n_per_class: int = 10,
+                                  n_test_per_class: int = 8,
                                   size: int = 1536) -> None:
     """Stand-in dataset in the CAMELYON16 directory layout. Tumor slides get
     ~3x nuclei density — a weak but learnable slide-level signal."""
@@ -103,10 +103,10 @@ def generate_synthetic_camelyon16(root: Path, n_per_class: int = 6,
 
 
 def slide_to_graph(path: Path, label: int, processor, builder, cache_dir: Path,
-                   bucket: int):
+                   bucket: int, sort_tag: str = ""):
     """Preprocess one slide into a cached PaddedGraph."""
     from dgdm_histopath_tpu.data.graph_io import load_graph, save_graph
-    cache = cache_dir / f"{path.stem}_b{bucket}.npz"
+    cache = cache_dir / f"{path.stem}_b{bucket}{sort_tag}.npz"
     if cache.exists():
         g = load_graph(cache)
     else:
@@ -139,6 +139,16 @@ def main(argv=None):
                     help="patch featurizer arch (default: dinov2; synthetic "
                          "staging defaults to simple_cnn so the smoke loop "
                          "stays CI-sized)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="run the windowed scaling config: spatial_window + "
+                         "graph_window = W in the model, graphs Morton-"
+                         "sorted and built with knn_window=W (banded "
+                         "compute exact by construction; ADR-0004 add.9)")
+    ap.add_argument("--ab-window", action="store_true",
+                    help="with --window: train BOTH the dense-parity config "
+                         "(unconstrained graphs, all-pairs attention) and "
+                         "the windowed scaling config, and report both AUCs "
+                         "— the accuracy gate for the windowed formulation")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (the axon sitecustomize pins the TPU "
@@ -201,38 +211,44 @@ def main(argv=None):
               "RANDOM-INIT — the resulting AUC does NOT discharge the "
               "parity target (see module docstring for the artifact).")
 
+    if args.ab_window and args.window is None:
+        ap.error("--ab-window requires --window")
     processor = SlideProcessor(patch_size=args.patch_size,
                                max_patches=max_patches,
                                tissue_threshold=0.5)
-    builder = TissueGraphBuilder(extractor=extractor,
-                                 node_buckets=(bucket,))
-
     cache_dir = args.out / "graph_cache"
     cache_dir.mkdir(parents=True, exist_ok=True)
-    print("[eval_c16] preprocessing slides -> graphs "
-          f"(bucket={bucket}, cache={cache_dir})")
-    t0 = time.time()
-    train_graphs = [slide_to_graph(p, y, processor, builder, cache_dir, bucket)
-                    for p, y in train_items]
-    test_graphs = [slide_to_graph(p, y, processor, builder, cache_dir, bucket)
-                   for p, y in test_items]
-    prep_s = time.time() - t0
-    print(f"[eval_c16] preprocessing done in {prep_s:.1f}s "
-          f"({prep_s / max(len(train_graphs) + len(test_graphs), 1):.1f} "
-          f"s/slide)")
+
+    n_slides = len(train_items) + len(test_items)
+    prep_stats = {"s": 0.0, "n": 0}
+
+    def load_graphs(knn_window):
+        """Preprocess (or load cached) graphs for one graph-build config."""
+        builder = TissueGraphBuilder(extractor=extractor,
+                                     node_buckets=(bucket,),
+                                     spatial_sort=knn_window is not None,
+                                     knn_window=knn_window)
+        tag = f"_w{knn_window}" if knn_window else ""
+        print("[eval_c16] preprocessing slides -> graphs "
+              f"(bucket={bucket}, knn_window={knn_window}, "
+              f"cache={cache_dir})")
+        t0 = time.time()
+        tr = [slide_to_graph(p, y, processor, builder, cache_dir, bucket, tag)
+              for p, y in train_items]
+        te = [slide_to_graph(p, y, processor, builder, cache_dir, bucket, tag)
+              for p, y in test_items]
+        prep_stats["s"] += time.time() - t0
+        prep_stats["n"] += n_slides
+        return tr, te
 
     # --- model + finetune -------------------------------------------------
     if args.config == "large":  # configs/dgdm_large.yaml geometry
         hidden, heads, steps = (768, 512, 256, 128), 16, 20
     else:                       # configs/dgdm_base.yaml geometry
         hidden, heads, steps = (512, 256, 128), 8, 10
-    model = DGDMModel(node_features=extractor.feature_dim,
-                      hidden_dims=hidden, attention_heads=heads,
-                      num_diffusion_steps=steps, graph_layers=4,
-                      num_classes=2, pooling="attention")
 
     rng = np.random.RandomState(args.seed)
-    order = rng.permutation(len(train_graphs))
+    order = rng.permutation(len(train_items))
     n_val = max(1, len(order) // 5)
     val_idx, tr_idx = order[:n_val], order[n_val:]
 
@@ -240,36 +256,59 @@ def main(argv=None):
         return [batch_graphs([graphs[i] for i in idxs[j:j + bs]])
                 for j in range(0, len(idxs), bs)]
 
-    train_batches = as_batches(train_graphs, tr_idx, args.batch_size)
-    val_batches = as_batches(train_graphs, val_idx, args.batch_size)
-
-    trainer = DGDMTrainer(model, TrainerConfig(
-        learning_rate=1e-4 if weights_loaded else 1e-3,
-        warmup_steps=min(100, len(train_batches)),
-        max_epochs=pretrain_epochs + finetune_epochs,
-        pretrain_epochs=pretrain_epochs,
-        steps_per_epoch=len(train_batches)), use_mesh=False)
     import jax.random as jrandom
-    trainer.init_state(jrandom.PRNGKey(args.seed), train_batches[0])
-    print(f"[eval_c16] finetuning {args.config}: {pretrain_epochs} pretrain "
-          f"+ {finetune_epochs} finetune epochs x "
-          f"{len(train_batches)} steps")
-    fit = trainer.fit(train_batches, val_batches,
-                      max_epochs=pretrain_epochs + finetune_epochs,
-                      early_stopping_patience=max(10, finetune_epochs // 3))
 
-    # --- test-set evaluation ---------------------------------------------
-    probs, labels = [], []
-    for j in range(0, len(test_graphs), args.batch_size):
-        chunk = test_graphs[j:j + args.batch_size]
-        batch = batch_graphs(chunk)
-        out = trainer.predict_step(batch, return_attention=False)
-        logits = np.asarray(out["classification_logits"], np.float64)
-        p = np.exp(logits - logits.max(-1, keepdims=True))
-        probs.append(p / p.sum(-1, keepdims=True))
-        labels.extend(int(g.y) for g in chunk)
-    probs = np.concatenate(probs, axis=0)
-    metrics = compute_classification_metrics(np.asarray(labels), probs)
+    def run_variant(tag, extra_kwargs, knn_window):
+        """Preprocess + train + evaluate one (graph-build, model) config."""
+        train_graphs, test_graphs = load_graphs(knn_window)
+        train_batches = as_batches(train_graphs, tr_idx, args.batch_size)
+        val_batches = as_batches(train_graphs, val_idx, args.batch_size)
+        model = DGDMModel(node_features=extractor.feature_dim,
+                          hidden_dims=hidden, attention_heads=heads,
+                          num_diffusion_steps=steps, graph_layers=4,
+                          num_classes=2, pooling="attention", **extra_kwargs)
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-4 if weights_loaded else 1e-3,
+            warmup_steps=min(100, len(train_batches)),
+            max_epochs=pretrain_epochs + finetune_epochs,
+            pretrain_epochs=pretrain_epochs,
+            steps_per_epoch=len(train_batches)), use_mesh=False)
+        trainer.init_state(jrandom.PRNGKey(args.seed), train_batches[0])
+        print(f"[eval_c16] [{tag}] finetuning {args.config}: "
+              f"{pretrain_epochs} pretrain + {finetune_epochs} finetune "
+              f"epochs x {len(train_batches)} steps")
+        fit = trainer.fit(train_batches, val_batches,
+                          max_epochs=pretrain_epochs + finetune_epochs,
+                          early_stopping_patience=max(10, finetune_epochs // 3))
+        probs, labels = [], []
+        for j in range(0, len(test_graphs), args.batch_size):
+            chunk = test_graphs[j:j + args.batch_size]
+            batch = batch_graphs(chunk)
+            out = trainer.predict_step(batch, return_attention=False)
+            logits = np.asarray(out["classification_logits"], np.float64)
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            probs.append(p / p.sum(-1, keepdims=True))
+            labels.extend(int(g.y) for g in chunk)
+        m = compute_classification_metrics(
+            np.asarray(labels), np.concatenate(probs, axis=0))
+        m["best_val_loss"] = fit["best_val_loss"]
+        print(f"[eval_c16] [{tag}] auc={m.get('auc')} f1={m.get('f1')}")
+        return m
+
+    # a variant = (tag, model kwargs, graph-build knn_window). The windowed
+    # scaling config pairs the banded model with band-built graphs, so its
+    # banded compute is exact by construction (ops.knn._band_mask).
+    variants = []
+    if args.window is None or args.ab_window:
+        variants.append(("dense", {}, None))
+    if args.window is not None:
+        variants.append((f"window{args.window}",
+                         {"spatial_window": args.window,
+                          "graph_window": args.window}, args.window))
+    results = {tag: run_variant(tag, kw, knnw) for tag, kw, knnw in variants}
+    primary_tag = variants[0][0]
+    metrics = results[primary_tag]
+    fit = {"best_val_loss": metrics["best_val_loss"]}
 
     target = REFERENCE_TARGETS[args.config]
     report = {
@@ -289,11 +328,20 @@ def main(argv=None):
                                               - target["auc"], 4)),
         "parity_valid": weights_loaded and not args.synthetic,
         "preprocess_s_per_slide": round(
-            prep_s / max(len(train_graphs) + len(test_graphs), 1), 2),
+            prep_stats["s"] / max(prep_stats["n"], 1), 2),
         "best_val_loss": fit["best_val_loss"],
         "wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }
+    if len(results) > 1:
+        report["variants"] = {
+            t: {k: r.get(k) for k in ("auc", "f1", "accuracy",
+                                      "best_val_loss")}
+            for t, r in results.items()}
+        wtag = variants[-1][0]
+        if results[wtag].get("auc") is not None and metrics.get("auc"):
+            report["window_auc_delta_vs_dense"] = round(
+                results[wtag]["auc"] - metrics["auc"], 4)
     out_path = args.out / "report.json"
     out_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))

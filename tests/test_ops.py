@@ -143,3 +143,63 @@ class TestPaddedGraph:
         assert b.node_mask.shape == (3, 32)
         pooled = masked_global_mean(b.x, b.node_mask)
         assert pooled.shape == (3, 16)
+
+
+class TestBandedOps:
+    """Banded (Morton-window) message-passing helpers: exact equivalence to
+    the dense formulation on the band-pruned graph."""
+
+    def _sorted_graph(self, seed=0, n=64, real=56, w=16):
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+        g = spatial_sort(make_synthetic_graph(seed=seed, n_nodes=n,
+                                              n_real=real, feat_dim=8))
+        return g, w
+
+    def test_relative_indices_roundtrip(self):
+        from dgdm_histopath_tpu.ops.graph import banded_relative_neighbors
+        g, w = self._sorted_graph()
+        rel, ok = banded_relative_neighbors(g.nbr_idx, g.nbr_mask, w)
+        # every in-band slot reconstructs its absolute index
+        base = (np.arange(g.num_nodes) // w - 1) * w
+        back = np.asarray(rel) + base[:, None]
+        okn = np.asarray(ok)
+        np.testing.assert_array_equal(back[okn], np.asarray(g.nbr_idx)[okn])
+        # in_band is a subset of nbr_mask and rel stays in [0, 3w)
+        assert not np.any(okn & ~np.asarray(g.nbr_mask))
+        assert np.asarray(rel).min() >= 0 and np.asarray(rel).max() < 3 * w
+
+    def test_banded_gather_matches_take(self):
+        from dgdm_histopath_tpu.ops.graph import (
+            banded_gather_neighbors, banded_relative_neighbors)
+        g, w = self._sorted_graph(seed=1)
+        x = jnp.asarray(np.random.RandomState(0).randn(
+            g.num_nodes, 8).astype(np.float32))
+        rel, ok = banded_relative_neighbors(g.nbr_idx, g.nbr_mask, w)
+        got = np.asarray(banded_gather_neighbors(x, rel, w))
+        want = np.asarray(gather_neighbors(x, g.nbr_idx, impl="take"))
+        okn = np.asarray(ok)
+        np.testing.assert_allclose(got[okn], want[okn], atol=1e-6)
+
+    def test_banded_adjacency_agg_matches_dense(self):
+        from dgdm_histopath_tpu.ops.graph import (
+            banded_conv_agg, banded_relative_neighbors,
+            banded_weighted_adjacency, weighted_adjacency)
+        g, w = self._sorted_graph(seed=2)
+        n = g.num_nodes
+        rs = np.random.RandomState(1)
+        h = jnp.asarray(rs.randn(n, 8).astype(np.float32))
+        rel, ok = banded_relative_neighbors(g.nbr_idx, g.nbr_mask, w)
+        wt = jnp.asarray(rs.rand(n, g.max_neighbors).astype(np.float32))
+        wt = wt * ok.astype(jnp.float32)      # band-pruned weights
+        dense = weighted_adjacency(g.nbr_idx, wt, n, jnp.float32)
+        want = np.asarray(jnp.einsum("nm,mf->nf", dense, h))
+        band = banded_weighted_adjacency(rel, wt, w, jnp.float32)
+        got = np.asarray(banded_conv_agg(band, h, w))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_band_eligibility(self):
+        from dgdm_histopath_tpu.ops.graph import band_eligible
+        assert band_eligible(64, 16)
+        assert not band_eligible(64, 24)   # not divisible
+        assert not band_eligible(64, 32)   # < 3 blocks
+        assert not band_eligible(64, None)

@@ -220,6 +220,35 @@ class TestTissueGraphBuilder:
         assert c.num_nodes == g.num_nodes  # shape preserved
         assert int(c.n_real_nodes) == int(round(int(g.n_real_nodes) * 0.5))
 
+    def test_spatial_sort_and_knn_window(self):
+        """knn_window builds graphs whose every edge is addressable by
+        banded model compute (in_band_fraction == 1), with Morton-sorted
+        nodes and all spatial-kNN degree preserved."""
+        from dgdm_histopath_tpu.ops.graph import in_band_fraction
+        from dgdm_histopath_tpu.parallel.halo import morton_keys
+        data = self._slide_data(n_patches=60)
+        w = 16
+        banded = TissueGraphBuilder(feature_extractor="none",
+                                    node_buckets=[64], spatial_sort=True,
+                                    knn_window=w)
+        g = banded.build_graph(data)
+        assert in_band_fraction(g.nbr_idx, g.nbr_mask, w) == 1.0
+        # nodes really are in Morton order
+        keys = morton_keys(np.asarray(g.pos), np.asarray(g.node_mask))
+        real = np.asarray(g.node_mask)
+        assert (np.diff(keys[real]) >= 0).all()
+        # spatial kNN degree matches the unconstrained build (band-local
+        # spatial neighbors ARE the nearest neighbors)
+        free = TissueGraphBuilder(feature_extractor="none",
+                                  node_buckets=[64], spatial_sort=True)
+        g2 = free.build_graph(data)
+        k_sp = banded.k_spatial
+        assert (np.asarray(g.nbr_mask)[:, :k_sp].sum()
+                == np.asarray(g2.nbr_mask)[:, :k_sp].sum())
+        # knn_window without spatial_sort is rejected
+        with pytest.raises(ValueError):
+            TissueGraphBuilder(feature_extractor="none", knn_window=8)
+
     def test_empty_slide_raises(self):
         from dgdm_histopath_tpu.utils.exceptions import GraphConstructionError
         from dgdm_histopath_tpu.preprocessing import SlideData
