@@ -79,12 +79,15 @@ def generate_synthetic_camelyon16(root: Path, n_per_class: int = 10,
                                   n_test_per_class: int = 8,
                                   size: int = 1536) -> None:
     """Stand-in dataset in the CAMELYON16 directory layout. Tumor slides get
-    ~3x nuclei density — a weak but learnable slide-level signal."""
+    ~8x nuclei density — a clearly learnable slide-level signal even through
+    a random-init backbone (the 3x contrast first tried drowned in
+    slide-level blob-layout variance: linear probe on slide-mean features
+    scored AUC 0.25 at n_train=20)."""
     from dgdm_histopath_tpu.preprocessing.synthetic import write_synthetic_tiff
     rows = []
     seed = 0
     for split, n in (("training", n_per_class), ("testing", n_test_per_class)):
-        for label, name, dens in ((0, "normal", 0.0012), (1, "tumor", 0.004)):
+        for label, name, dens in ((0, "normal", 0.0008), (1, "tumor", 0.0065)):
             for i in range(n):
                 seed += 1
                 if split == "training":

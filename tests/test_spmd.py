@@ -81,6 +81,53 @@ class TestShardMapStep:
         assert losses[-1] < losses[0]
 
 
+class TestBandedUnderDP:
+    """Banded message passing + windowed attention must compose with the
+    DP mesh: the node-axis block reshapes are shard-local (batch is the
+    sharded axis), so mesh and single-device runs agree."""
+
+    @pytest.mark.slow
+    def test_banded_dp_matches_single_device(self):
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+
+        def banded_trainer(mesh, use_mesh):
+            model = DGDMModel(node_features=16, hidden_dims=(32, 16),
+                              num_diffusion_steps=3, attention_heads=4,
+                              graph_layers=1, num_classes=2,
+                              use_hierarchical=False,
+                              use_spatial_attention=True,
+                              compute_dtype="float32", dropout=0.0,
+                              graph_window=8, spatial_window=8)
+            return DGDMTrainer(model, TrainerConfig(
+                learning_rate=1e-3, warmup_steps=1, pretrain_epochs=0,
+                steps_per_epoch=10, scheduler_type="none"),
+                mesh=mesh, use_mesh=use_mesh)
+
+        gs = [spatial_sort(make_synthetic_graph(
+            seed=i, n_nodes=32, n_real=28, feat_dim=16).replace(
+            y=jnp.asarray(i % 2, jnp.int32))) for i in range(8)]
+        batch = batch_graphs(gs)
+
+        mesh = make_mesh(axes=("data",))
+        t_mesh = banded_trainer(mesh, True)
+        t_mesh.init_state(jax.random.PRNGKey(0), batch)
+        t_solo = banded_trainer(None, False)
+        t_solo.init_state(jax.random.PRNGKey(0), batch)
+
+        m1 = t_mesh.training_step(shard_batch(batch, mesh), epoch=1)
+        m2 = t_solo.training_step(batch, epoch=1)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-5)
+        # atol 1e-4, not 1e-5: Adam's grad/sqrt(v) normalization amplifies
+        # mesh-vs-solo reduction-order fp noise on near-zero first-step
+        # grads (observed 1.1e-5 on zero-init biases); the loss equality
+        # above is the tight functional check
+        for a, b in zip(jax.tree_util.tree_leaves(t_mesh.state.params),
+                        jax.tree_util.tree_leaves(t_solo.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
 class TestTensorParallel:
     """2-D ('data','model') mesh: TP param layout (parallel/tp.py)."""
 
