@@ -77,7 +77,7 @@ def discover_camelyon16(root: Path):
 
 def generate_synthetic_camelyon16(root: Path, n_per_class: int = 10,
                                   n_test_per_class: int = 8,
-                                  size: int = 1536) -> None:
+                                  size: int = 2048) -> None:
     """Stand-in dataset in the CAMELYON16 directory layout. Tumor slides get
     ~8x nuclei density — a clearly learnable slide-level signal even through
     a random-init backbone (the 3x contrast first tried drowned in
@@ -134,7 +134,11 @@ def main(argv=None):
                     help="node bucket (default: 1024 base / 2048 large; "
                          "synthetic uses 256)")
     ap.add_argument("--max-patches", type=int, default=None)
-    ap.add_argument("--patch-size", type=int, default=256)
+    ap.add_argument("--patch-size", type=int, default=None,
+                    help="default 256; synthetic staging uses 64 so the "
+                         "2048px stand-in slides yield >100-node graphs "
+                         "(256px patches at 20x span 512px — a 1536px "
+                         "slide gave 2-patch graphs, pure noise)")
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--pretrain-epochs", type=int, default=None)
     ap.add_argument("--finetune-epochs", type=int, default=None)
@@ -182,6 +186,8 @@ def main(argv=None):
         generate_synthetic_camelyon16(data_root)
         bucket = args.bucket or 256
         max_patches = args.max_patches or 256
+        patch_size = args.patch_size or 64
+        tissue_threshold = 0.3
         pretrain_epochs = 1 if args.pretrain_epochs is None else args.pretrain_epochs
         finetune_epochs = 30 if args.finetune_epochs is None else args.finetune_epochs
     else:
@@ -190,6 +196,8 @@ def main(argv=None):
         data_root = args.data_root
         bucket = args.bucket or (2048 if args.config == "large" else 1024)
         max_patches = args.max_patches or (2000 if args.config == "large" else 1000)
+        patch_size = args.patch_size or 256
+        tissue_threshold = 0.5
         pretrain_epochs = 50 if args.pretrain_epochs is None else args.pretrain_epochs
         finetune_epochs = 50 if args.finetune_epochs is None else args.finetune_epochs
 
@@ -216,9 +224,9 @@ def main(argv=None):
 
     if args.ab_window and args.window is None:
         ap.error("--ab-window requires --window")
-    processor = SlideProcessor(patch_size=args.patch_size,
+    processor = SlideProcessor(patch_size=patch_size,
                                max_patches=max_patches,
-                               tissue_threshold=0.5)
+                               tissue_threshold=tissue_threshold)
     cache_dir = args.out / "graph_cache"
     cache_dir.mkdir(parents=True, exist_ok=True)
 
