@@ -110,9 +110,15 @@ class DGDMPredictor:
             from ..models.vit import PatchFeatureExtractor
             extractor = PatchFeatureExtractor(
                 arch=feature_extractor, stain_normalize_on_device=True)
+        # a windowed model (spatial_window/graph_window) is only meaningful
+        # on Morton-sorted nodes, and banded message passing is exact only
+        # on band-built edges — derive the build config from the model so
+        # prediction-time graphs match the training-time formulation
+        gw = getattr(self.model, "graph_window", None)
+        sw = getattr(self.model, "spatial_window", None)
         self.graph_builder = TissueGraphBuilder(
             feature_extractor=feature_extractor, node_buckets=list(node_buckets),
-            extractor=extractor)
+            extractor=extractor, spatial_sort=bool(gw or sw), knn_window=gw)
         self._forward = jax.jit(
             lambda p, g: self.model.apply(p, g, mode="inference",
                                           deterministic=True,

@@ -158,6 +158,22 @@ class DGDMTrainer:
                      "dropout": jax.random.fold_in(rng, 3)}
         params = self.model.init(init_rngs, example_batch, mode="pretrain",
                                  deterministic=True)
+        gw = getattr(self.model, "graph_window", None)
+        if gw:
+            # one-time diagnostic: a banded model on graphs that were NOT
+            # band-built (TissueGraphBuilder knn_window) silently drops the
+            # out-of-band edges — quantify it up front
+            from ..ops.graph import band_eligible, in_band_fraction
+            if band_eligible(example_batch.num_nodes, gw):
+                frac = in_band_fraction(example_batch.nbr_idx,
+                                        example_batch.nbr_mask, gw)
+                if frac < 0.99:
+                    logger.warning(
+                        "graph_window=%d but only %.1f%% of edges are "
+                        "in-band — banded message passing drops the rest. "
+                        "Build graphs with TissueGraphBuilder("
+                        "spatial_sort=True, knn_window=%d) for exact "
+                        "banded compute.", gw, 100 * frac, gw)
         state = TrainState.create(params, self.tx, jax.random.fold_in(rng, 7))
         state = self.place_state(state)
         self.state = state

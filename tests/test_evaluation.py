@@ -121,6 +121,37 @@ class TestPredictor:
         assert len(result["biomarkers"]) > 0
         assert result["uncertainty"]["entropy"] >= 0.0
 
+    def test_predictor_builds_banded_graphs_for_windowed_model(self):
+        """A windowed checkpoint must get Morton-sorted, band-built graphs
+        at prediction time — the build config derives from the model."""
+        model = DGDMModel(node_features=5, hidden_dims=(32, 16),
+                          num_diffusion_steps=4, attention_heads=4,
+                          graph_layers=2, num_classes=3,
+                          use_hierarchical=False, compute_dtype="float32",
+                          spatial_window=8, graph_window=8)
+        g = make_synthetic_graph(n_nodes=32, n_real=20, feat_dim=5)
+        batched = jax.tree_util.tree_map(
+            lambda a: a[None] if hasattr(a, "ndim") else a, g)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1),
+                "masking": jax.random.PRNGKey(2)}
+        params = model.init(rngs, batched, mode="pretrain",
+                            deterministic=True)
+        pred = DGDMPredictor(model=model, params=params, patch_size=32,
+                             max_patches=30, feature_extractor="none",
+                             tissue_threshold=0.3, stain_normalize=False,
+                             node_buckets=[32, 64])
+        assert pred.graph_builder.spatial_sort
+        assert pred.graph_builder.knn_window == 8
+        backend, _ = synthetic_slide(512, 512, num_levels=3, seed=5)
+        result = pred.predict_slide(backend, slide_id="banded")
+        assert result["probabilities"].shape == (3,)
+        # and the built graph really was band-complete
+        from dgdm_histopath_tpu.ops.graph import in_band_fraction
+        slide_data = pred.processor.process_slide(backend, slide_id="b2")
+        built = pred.graph_builder.build_graph(slide_data)
+        assert in_band_fraction(built.nbr_idx, built.nbr_mask, 8) == 1.0
+
     def test_predict_slides_one_ahead(self, tmp_path):
         """predict_slides overlaps slides: slide i+1 is opened (firing its
         whole-file readahead) on a background thread while slide i runs;
