@@ -137,6 +137,7 @@ class DGDMModel(nn.Module):
             self.graph_unet = GraphUNet(
                 features=hidden, depth=2, num_heads=self.attention_heads,
                 dropout=self.dropout, gather_impl=self.gather_impl,
+                band_window=self.graph_window,
                 dtype=dtype, param_dtype=pdtype)
         self.diffusion = DiffusionLayer(
             features=hidden, num_steps=self.num_diffusion_steps,

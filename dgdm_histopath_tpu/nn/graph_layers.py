@@ -370,6 +370,11 @@ class GraphUNet(nn.Module):
     dropout: float = 0.0
     gather_impl: str = "auto"
     compact_pooling: bool = True
+    # banded message passing for the FULL-N levels (down0/up0, which see
+    # the original Morton node order). Pooled levels keep dense
+    # aggregation: compact top-k selection orders survivors by score, so
+    # block-banding would be spatially meaningless there.
+    band_window: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -388,9 +393,11 @@ class GraphUNet(nn.Module):
             x = nn.Dense(f, name="in_proj", dtype=self.dtype,
                          param_dtype=self.param_dtype)(x)
 
-        def layer(name):
+        def layer(name, banded=False):
             return DynamicGraphLayer(f, self.num_heads, self.dropout,
                                      gather_impl=self.gather_impl, name=name,
+                                     band_window=(self.band_window if banded
+                                                  else None),
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype)
 
@@ -406,8 +413,9 @@ class GraphUNet(nn.Module):
             idxs, kmask, nodem, ea = nbr_idx, nbr_mask, node_mask, edge_attr
             skips, levels = [], []
             for d in range(self.depth):
-                h = layer(f"down{d}")(h, idxs, kmask & nodem[..., None], ea,
-                                      deterministic=deterministic)
+                h = layer(f"down{d}", banded=(d == 0))(
+                    h, idxs, kmask & nodem[..., None], ea,
+                    deterministic=deterministic)
                 skips.append(h)
                 levels.append((idxs, kmask, nodem, ea, h.shape[-2]))
                 c = pool(f"pool{d}")(h, nodem, idxs, kmask, ea)
@@ -419,28 +427,29 @@ class GraphUNet(nn.Module):
             for d in reversed(range(self.depth)):
                 idxs, kmask, nodem, ea, n_d, sel, sel_valid = levels[d]
                 h = scatter_nodes(h, sel, n_d, valid=sel_valid) + skips[d]
-                h = layer(f"up{d}")(h, idxs, kmask & nodem[..., None], ea,
-                                    deterministic=deterministic)
+                h = layer(f"up{d}", banded=(d == 0))(
+                    h, idxs, kmask & nodem[..., None], ea,
+                    deterministic=deterministic)
         else:
             skips = []
             masks = [node_mask]
             h = x
             cur_mask = node_mask
             for d in range(self.depth):
-                h = layer(f"down{d}")(h, nbr_idx,
-                                      nbr_mask & cur_mask[..., None],
-                                      edge_attr, deterministic=deterministic)
+                h = layer(f"down{d}", banded=True)(
+                    h, nbr_idx, nbr_mask & cur_mask[..., None],
+                    edge_attr, deterministic=deterministic)
                 skips.append(h)
                 h, cur_mask, _ = pool(f"pool{d}")(h, cur_mask)
                 masks.append(cur_mask)
-            h = layer("bottleneck")(h, nbr_idx,
-                                    nbr_mask & cur_mask[..., None], edge_attr,
-                                    deterministic=deterministic)
+            h = layer("bottleneck", banded=True)(
+                h, nbr_idx, nbr_mask & cur_mask[..., None], edge_attr,
+                deterministic=deterministic)
             for d in reversed(range(self.depth)):
                 up_mask = masks[d]
                 h = h + skips[d]               # unpool = unmask + skip add
-                h = layer(f"up{d}")(h, nbr_idx,
-                                    nbr_mask & up_mask[..., None], edge_attr,
-                                    deterministic=deterministic)
+                h = layer(f"up{d}", banded=True)(
+                    h, nbr_idx, nbr_mask & up_mask[..., None], edge_attr,
+                    deterministic=deterministic)
         out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="out_norm")(h + x)
         return out * node_mask[..., None].astype(out.dtype)

@@ -630,6 +630,28 @@ class TestBandedGraphLayers:
         real = np.asarray(g.node_mask)
         np.testing.assert_allclose(out1[real], out2[real], atol=1e-5)
 
+    def test_graph_unet_banded_matches_dense_on_pruned_graph(self):
+        """U-Net with band_window: full-N levels (down0/up0) banded, pooled
+        levels dense — exact vs the dense U-Net on the band-pruned graph."""
+        from dgdm_histopath_tpu.ops.graph import banded_relative_neighbors
+        w = 16
+        g = self._sorted_batch()
+        dense = GraphUNet(features=16, depth=2, num_heads=4,
+                          dtype=jnp.float32)
+        banded = GraphUNet(features=16, depth=2, num_heads=4, band_window=w,
+                           dtype=jnp.float32)
+        # band-complete graph: prune out-of-band edges up front so BOTH
+        # variants see identical edges at every level (pooled levels pass
+        # the mask through unchanged)
+        _, ok = banded_relative_neighbors(g.nbr_idx, g.nbr_mask, w)
+        params = dense.init(jax.random.PRNGKey(0), g.x, g.nbr_idx,
+                            ok, g.node_mask, g.edge_attr)
+        want = np.asarray(dense.apply(params, g.x, g.nbr_idx, ok,
+                                      g.node_mask, g.edge_attr))
+        got = np.asarray(banded.apply(params, g.x, g.nbr_idx, ok,
+                                      g.node_mask, g.edge_attr))
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
     def test_model_graph_window_runs_and_falls_back(self):
         g = small_batch(num_classes=3, feat_dim=32)   # N=32
         base = DGDMModel(node_features=32, hidden_dims=(32, 16),
