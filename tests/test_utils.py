@@ -63,6 +63,20 @@ class TestConfig:
         loaded = load_config(p, apply_env=False)
         assert loaded.model.hidden_dims == [64, 32]
 
+    def test_shipped_configs_load_and_window_keys(self):
+        """Every shipped YAML loads/validates; the windowed Large preset
+        wires the full scaling config (model windows + band-built data)."""
+        from pathlib import Path
+        cfg_dir = Path(__file__).resolve().parent.parent / "configs"
+        for p in sorted(cfg_dir.glob("*.yaml")):
+            cfg = load_config(p, apply_env=False)
+            cfg.validate()
+        w = load_config(cfg_dir / "dgdm_large_windowed.yaml", apply_env=False)
+        assert w.model.spatial_window == 128
+        assert w.model.graph_window == 128
+        assert w.data.spatial_sort is True
+        assert w.data.knn_window == 128
+
     def test_config_transaction_rollback(self, tmp_path):
         p = tmp_path / "c.yaml"
         p.write_text("original: true\n")
