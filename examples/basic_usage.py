@@ -9,6 +9,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # the image's sitecustomize pins jax_platforms=axon programmatically;
+    # honor a JAX_PLATFORMS=cpu request made via the environment
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import numpy as np
 
