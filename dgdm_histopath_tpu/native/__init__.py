@@ -72,7 +72,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(str(_LIB))
-            if lib.dgdm_io_version() != 2:
+            if lib.dgdm_io_version() != 3:
                 raise OSError("ABI version mismatch")
             lib.dgdm_read_patches.restype = ctypes.c_int
             lib.dgdm_read_patches.argtypes = [
@@ -90,6 +90,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8),       # out
                 ctypes.c_int, ctypes.c_int,           # nthreads, do_readahead
             ]
+            lib.dgdm_read_patches_cached.restype = ctypes.c_int
+            lib.dgdm_read_patches_cached.argtypes = (
+                lib.dgdm_read_patches.argtypes + [ctypes.c_void_p])
+            lib.dgdm_cache_new.restype = ctypes.c_void_p
+            lib.dgdm_cache_new.argtypes = [ctypes.c_int64]
+            lib.dgdm_cache_free.restype = None
+            lib.dgdm_cache_free.argtypes = [ctypes.c_void_p]
+            lib.dgdm_cache_stats.restype = None
+            lib.dgdm_cache_stats.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
             lib.dgdm_advise_patches.restype = ctypes.c_int
             lib.dgdm_advise_patches.argtypes = [
                 ctypes.c_char_p,                      # path
@@ -119,13 +131,53 @@ class ChunkIndex:
     """
 
     __slots__ = ("lvl_h", "lvl_w", "ch", "cw", "comp",
-                 "offsets", "nbytes", "fmask")
+                 "offsets", "nbytes", "fmask", "_cache")
+
+    #: decoded-chunk cache budget for COMPRESSED datasets (consecutive
+    #: patch batches re-touch ~24% of their chunk columns; FIFO of the
+    #: previous batch recovers all of it). 0 disables. Raw datasets never
+    #: cache: a hit would only replace a page-cache pread with a memcpy.
+    CACHE_MB_DEFAULT = int(os.environ.get("DGDM_CHUNK_CACHE_MB", "128"))
 
     def __init__(self, lvl_h, lvl_w, ch, cw, comp, offsets, nbytes, fmask):
         self.lvl_h, self.lvl_w = lvl_h, lvl_w
         self.ch, self.cw = ch, cw
         self.comp = comp
         self.offsets, self.nbytes, self.fmask = offsets, nbytes, fmask
+        self._cache = None
+
+    def _cache_handle(self):
+        """Lazy native cache handle (compressed datasets only)."""
+        if self._cache is None:
+            lib = get_lib()
+            mb = self.CACHE_MB_DEFAULT
+            if lib is None or self.comp == COMP_RAW or mb <= 0:
+                self._cache = 0                      # sentinel: disabled
+            else:
+                self._cache = lib.dgdm_cache_new(mb << 20) or 0
+        return self._cache or None
+
+    def cache_stats(self):
+        """(hits, misses, resident_bytes) of the decoded-chunk cache."""
+        lib = get_lib()
+        if lib is None or not self._cache:
+            return (0, 0, 0)
+        h = ctypes.c_int64()
+        m = ctypes.c_int64()
+        b = ctypes.c_int64()
+        lib.dgdm_cache_stats(self._cache, ctypes.byref(h), ctypes.byref(m),
+                             ctypes.byref(b))
+        return (h.value, m.value, b.value)
+
+    def __del__(self):
+        cache = getattr(self, "_cache", None)
+        if cache:
+            lib = _lib                     # don't (re)build during teardown
+            if lib is not None:
+                try:
+                    lib.dgdm_cache_free(cache)
+                except Exception:
+                    pass
 
     @classmethod
     def from_dataset(cls, dset) -> Optional["ChunkIndex"]:
@@ -183,7 +235,7 @@ class ChunkIndex:
             return out
         if nthreads is None:
             nthreads = min(8, os.cpu_count() or 1)
-        rc = lib.dgdm_read_patches(
+        rc = lib.dgdm_read_patches_cached(
             str(path).encode(),
             self.lvl_h, self.lvl_w, self.ch, self.cw,
             self.offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -194,7 +246,7 @@ class ChunkIndex:
             xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ph, pw,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(nthreads), int(bool(readahead)))
+            int(nthreads), int(bool(readahead)), self._cache_handle())
         if rc != 0:
             raise RuntimeError(
                 f"native chunk read failed: {_ERRORS.get(rc, rc)}")

@@ -30,7 +30,11 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -87,9 +91,26 @@ struct ChunkTask {
   std::vector<int32_t> patches;  // indices of patches touching this chunk
 };
 
+// Decoded-chunk cache: consecutive patch batches over a column-major grid
+// share ~24% of their chunk columns (measured on the 24576px/256px-patch/
+// 512px-chunk predict geometry), and with FIFO eviction the previous
+// batch's chunks are exactly what the next batch re-touches. Keyed by file
+// byte offset (unique per chunk within one dataset — the cache handle is
+// per ChunkIndex). shared_ptr buffers keep in-flight assembly safe across
+// concurrent eviction.
+struct DecodedChunkCache {
+  std::mutex mu;
+  int64_t max_bytes;
+  int64_t cur_bytes{0};
+  uint64_t hits{0}, misses{0};
+  std::unordered_map<uint64_t, std::shared_ptr<std::vector<uint8_t>>> map;
+  std::deque<uint64_t> fifo;
+  explicit DecodedChunkCache(int64_t mb) : max_bytes(mb) {}
+};
+
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Reads n patches of size [ph, pw, 3] from one pyramid level stored as a
 // chunked uint8 [lvl_h, lvl_w, 3] dataset. Patch coords (ys[i], xs[i]) are
@@ -97,12 +118,16 @@ extern "C" {
 // must be prefilled by the caller with its out-of-bounds fill value.
 // Pixels inside the level bounds are always written (unallocated chunks
 // write the HDF5 default fill, 0). Returns ERR_OK or a negative ErrCode.
-int dgdm_read_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
+// `cache` (optional) is a DecodedChunkCache: chunks found there skip
+// pread+decode entirely; freshly decoded chunks are inserted (FIFO
+// eviction at max_bytes).
+int read_patches_impl(const char* path, int64_t lvl_h, int64_t lvl_w,
                       int64_t ch, int64_t cw, const uint64_t* chunk_off,
                       const uint64_t* chunk_nbytes, const uint32_t* fmask,
                       int comp, int64_t n, const int64_t* ys,
                       const int64_t* xs, int64_t ph, int64_t pw, uint8_t* out,
-                      int nthreads, int do_readahead) {
+                      int nthreads, int do_readahead,
+                      DecodedChunkCache* cache) {
   if (ch <= 0 || cw <= 0 || ph <= 0 || pw <= 0 || lvl_h <= 0 || lvl_w <= 0)
     return ERR_BADARG;
   if (comp != COMP_RAW && comp != COMP_GZIP && comp != COMP_LZF)
@@ -180,7 +205,20 @@ int dgdm_read_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
       if (k >= tasks.size() || err.load() != ERR_OK) break;
       const ChunkTask& t = tasks[k];
       const uint8_t* src = nullptr;
-      if (!t.offset || !t.nbytes) {
+      std::shared_ptr<std::vector<uint8_t>> held;  // pins a cached buffer
+      if (cache && t.offset && t.nbytes) {
+        std::lock_guard<std::mutex> g(cache->mu);
+        auto it = cache->map.find(t.offset);
+        if (it != cache->map.end()) {
+          held = it->second;
+          ++cache->hits;
+        } else {
+          ++cache->misses;
+        }
+      }
+      if (held) {
+        src = held->data();
+      } else if (!t.offset || !t.nbytes) {
         // unallocated chunk: HDF5 default fill (0)
         std::memset(chunkbuf.data(), 0, static_cast<size_t>(chunk_raw));
         src = chunkbuf.data();
@@ -223,6 +261,25 @@ int dgdm_read_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
           }
           src = chunkbuf.data();
         }
+        if (cache && src) {
+          // insert a private copy; shared_ptr keeps it alive for any
+          // reader still assembling from it after eviction
+          held = std::make_shared<std::vector<uint8_t>>(src,
+                                                        src + chunk_raw);
+          std::lock_guard<std::mutex> g(cache->mu);
+          if (cache->map.emplace(t.offset, held).second) {
+            cache->fifo.push_back(t.offset);
+            cache->cur_bytes += chunk_raw;
+            while (cache->cur_bytes > cache->max_bytes &&
+                   !cache->fifo.empty()) {
+              uint64_t victim = cache->fifo.front();
+              cache->fifo.pop_front();
+              if (cache->map.erase(victim))
+                cache->cur_bytes -= chunk_raw;
+            }
+          }
+          src = held->data();
+        }
       }
       // window assembly: copy this chunk's intersection into each patch
       const int64_t cr = t.cid / grid_cols, cc = t.cid % grid_cols;
@@ -256,6 +313,60 @@ int dgdm_read_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
   }
   close(fd);
   return err.load();
+}
+
+}  // namespace
+
+extern "C" {
+
+int dgdm_read_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
+                      int64_t ch, int64_t cw, const uint64_t* chunk_off,
+                      const uint64_t* chunk_nbytes, const uint32_t* fmask,
+                      int comp, int64_t n, const int64_t* ys,
+                      const int64_t* xs, int64_t ph, int64_t pw, uint8_t* out,
+                      int nthreads, int do_readahead) {
+  return read_patches_impl(path, lvl_h, lvl_w, ch, cw, chunk_off,
+                           chunk_nbytes, fmask, comp, n, ys, xs, ph, pw, out,
+                           nthreads, do_readahead, nullptr);
+}
+
+// Cached variant: `cache` from dgdm_cache_new (may be null = uncached).
+int dgdm_read_patches_cached(const char* path, int64_t lvl_h, int64_t lvl_w,
+                             int64_t ch, int64_t cw,
+                             const uint64_t* chunk_off,
+                             const uint64_t* chunk_nbytes,
+                             const uint32_t* fmask, int comp, int64_t n,
+                             const int64_t* ys, const int64_t* xs, int64_t ph,
+                             int64_t pw, uint8_t* out, int nthreads,
+                             int do_readahead, void* cache) {
+  return read_patches_impl(path, lvl_h, lvl_w, ch, cw, chunk_off,
+                           chunk_nbytes, fmask, comp, n, ys, xs, ph, pw, out,
+                           nthreads, do_readahead,
+                           static_cast<DecodedChunkCache*>(cache));
+}
+
+void* dgdm_cache_new(int64_t max_bytes) {
+  if (max_bytes <= 0) return nullptr;
+  return new DecodedChunkCache(max_bytes);
+}
+
+void dgdm_cache_free(void* cache) {
+  delete static_cast<DecodedChunkCache*>(cache);
+}
+
+void dgdm_cache_stats(void* cache, int64_t* hits, int64_t* misses,
+                      int64_t* bytes) {
+  auto* c = static_cast<DecodedChunkCache*>(cache);
+  int64_t h = 0, m = 0, b = 0;
+  if (c) {
+    std::lock_guard<std::mutex> g(c->mu);
+    h = static_cast<int64_t>(c->hits);
+    m = static_cast<int64_t>(c->misses);
+    b = c->cur_bytes;
+  }
+  if (hits) *hits = h;
+  if (misses) *misses = m;
+  if (bytes) *bytes = b;
 }
 
 // Advise-only entry: compute the chunk set the given patches touch and
@@ -311,6 +422,6 @@ int dgdm_advise_patches(const char* path, int64_t lvl_h, int64_t lvl_w,
 }
 
 // ABI/version probe for the ctypes loader.
-int dgdm_io_version() { return 2; }
+int dgdm_io_version() { return 3; }
 
 }  // extern "C"

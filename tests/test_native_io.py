@@ -226,3 +226,64 @@ class TestCorruptChunks:
             b.read_region((0, 0), 0, (64, 64))
         except Exception:
             pass  # either error type is fine; surviving the read is the test
+
+
+class TestDecodedChunkCache:
+    """Cross-batch decoded-chunk cache (ABI v3): compressed datasets keep
+    the last ~128 MB of decoded chunks so consecutive patch batches that
+    re-touch a chunk column skip pread+inflate entirely. Correctness must
+    hold through hits, misses, and eviction."""
+
+    def _gradient_slide(self, tmp_path, comp):
+        lvl = np.add.outer(np.arange(1200) % 251,
+                           np.arange(1100) % 241)[..., None]
+        lvl = np.repeat(lvl.astype(np.uint8), 3, axis=2)
+        path = tmp_path / f"grad_{comp}.h5"
+        write_hdf5_slide(path, [lvl], properties={}, tile=256,
+                         compression=comp)
+        return path, lvl
+
+    def test_repeat_read_hits_and_matches(self, tmp_path):
+        import h5py
+        path, lvl = self._gradient_slide(tmp_path, "gzip")
+        with h5py.File(path) as f:
+            idx = native.ChunkIndex.from_dataset(f["level_0"])
+        ys, xs = [0, 300, 600], [0, 200, 400]
+        a = idx.read_patches(path, ys, xs, 256, 256)
+        h0, m0, b0 = idx.cache_stats()
+        assert h0 == 0 and m0 > 0 and b0 > 0
+        b = idx.read_patches(path, ys, xs, 256, 256)
+        h1, m1, _ = idx.cache_stats()
+        assert h1 == m0 and m1 == m0        # identical call: all hits
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            a[0], lvl[0:256, 0:256])
+
+    def test_eviction_under_tiny_budget_stays_correct(self, tmp_path,
+                                                      monkeypatch):
+        import h5py
+        monkeypatch.setattr(native.ChunkIndex, "CACHE_MB_DEFAULT", 1)
+        path, lvl = self._gradient_slide(tmp_path, "lzf")
+        with h5py.File(path) as f:
+            idx = native.ChunkIndex.from_dataset(f["level_0"])
+        # 1 MB holds ~5 of the 20 chunks -> every sweep evicts
+        ys = [y for y in range(0, 1200, 256) for _ in range(0, 1100, 256)]
+        xs = [x for _ in range(0, 1200, 256) for x in range(0, 1100, 256)]
+        for _ in range(3):
+            got = idx.read_patches(path, ys, xs, 256, 256)
+        _, _, resident = idx.cache_stats()
+        assert resident <= 1 << 20
+        for (y, x), patch in zip(zip(ys, xs), got):
+            h = min(256, 1200 - y)
+            w = min(256, 1100 - x)
+            np.testing.assert_array_equal(patch[:h, :w],
+                                          lvl[y:y + h, x:x + w])
+            assert (patch[h:] == 255).all() and (patch[:, w:] == 255).all()
+
+    def test_raw_datasets_do_not_cache(self, tmp_path):
+        import h5py
+        path, _ = self._gradient_slide(tmp_path, None)
+        with h5py.File(path) as f:
+            idx = native.ChunkIndex.from_dataset(f["level_0"])
+        idx.read_patches(path, [0], [0], 256, 256)
+        assert idx.cache_stats() == (0, 0, 0)
