@@ -418,6 +418,33 @@ def main():
         print(json.dumps({"metric": "ab_spatial_window_large_b4",
                           "rows": rows}))
         return
+    if "--large-windowed-sweep" in sys.argv:
+        # DGDM-Large batch sweep under the FULL windowed scaling config
+        # (spatial_window + graph_window = 128): the dense sweep OOMed at
+        # batch 32 (>16 GB) with batch 4 already compute-saturated; the
+        # windowed config cuts temp HBM 65%+ (ADR-0004 add.9/10), so larger
+        # batches may fit AND the per-graph time should drop ~2.4x+
+        results = []
+        for b in (4, 8, 16, 32):
+            try:
+                r = bench_config(f"2048node_largewin_b{b}", node_features=1024,
+                                 hidden_dims=(768, 512, 256, 128),
+                                 num_steps=20, heads=16, layers=4,
+                                 nodes=2048, n_real=2000, batch=b,
+                                 n_iters=10, spatial_window=128,
+                                 graph_window=128)
+                r["batch"] = b
+                results.append(r)
+                print(json.dumps(r), file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 - record OOM and stop
+                print(json.dumps({"batch": b, "error":
+                                  f"{type(exc).__name__}: {str(exc)[:200]}"}),
+                      file=sys.stderr)
+                break
+        if results:
+            best = max(results, key=lambda r: r["value"])
+            print(json.dumps(best))
+        return
     if "--ab-band" in sys.argv:
         # whole-step A/B of banded (Morton-window) message passing: the
         # encoder's [N,N] weighted-adjacency matmuls + one-hot key gather
