@@ -19,7 +19,7 @@ All modules accept inputs with arbitrary leading batch axes.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
