@@ -574,6 +574,29 @@ def main():
                         layers=4, nodes=1024, n_real=1000,
                         batch=headline_batch, n_iters=20)
     base["batch"] = headline_batch
+    if "--windowed" in sys.argv:
+        # windowed+banded scaling config rider (spatial_window +
+        # graph_window; ADR-0004 add.9/10). Clearly labeled: an
+        # APPROXIMATION of the dense all-pairs/all-edges parity semantics
+        # unless graphs are built with TissueGraphBuilder(knn_window=W),
+        # in which case it is exact by construction. The headline `value`
+        # stays the dense parity number; this row records what the
+        # documented scaling levers buy on the same chip.
+        try:
+            win = bench_config("1024node_base_windowed", node_features=768,
+                               hidden_dims=(512, 256, 128), num_steps=10,
+                               heads=8, layers=4, nodes=1024, n_real=1000,
+                               batch=headline_batch, n_iters=20,
+                               spatial_window=64, graph_window=64)
+            win["batch"] = headline_batch
+            win["semantics"] = ("windowed+banded scaling config (window 64)"
+                                ": approximation unless graphs are built "
+                                "with knn_window — exact there; default-off "
+                                "in the model")
+            base["windowed"] = win
+        except Exception as exc:  # noqa: BLE001
+            base["windowed"] = {
+                "error": f"{type(exc).__name__}: {str(exc)[:200]}"}
     if "--no-large" not in sys.argv:
         # DGDM-Large (configs/dgdm_large.yaml geometry) rides along by
         # default so every bench record carries both configs (VERDICT r2
@@ -588,6 +611,25 @@ def main():
             base["large"] = large
         except Exception as exc:  # noqa: BLE001
             base["large"] = {"error": f"{type(exc).__name__}: {str(exc)[:200]}"}
+        try:
+            # the combined scaling config at its target geometry — the
+            # measured 2.76x paired win (ADR-0004 add.10 hardware table).
+            # Labeled rider: approximation of the dense parity semantics
+            # unless graphs are built with knn_window (exact there).
+            lw = bench_config("2048node_large_windowed", node_features=1024,
+                              hidden_dims=(768, 512, 256, 128),
+                              num_steps=20, heads=16, layers=4,
+                              nodes=2048, n_real=2000, batch=4, n_iters=10,
+                              spatial_window=128, graph_window=128)
+            lw["batch"] = 4
+            lw["semantics"] = ("windowed+banded scaling config (window 128):"
+                               " approximation unless graphs are built with "
+                               "knn_window — exact there; default-off in "
+                               "the model")
+            base["large_windowed"] = lw
+        except Exception as exc:  # noqa: BLE001
+            base["large_windowed"] = {
+                "error": f"{type(exc).__name__}: {str(exc)[:200]}"}
     print(json.dumps(base))
 
 
