@@ -134,11 +134,25 @@ def matmul_flops_from_hlo(compiled) -> float | None:
     return total or None
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: a repeated config (driver re-runs,
+    paired A/Bs re-benching the dense side) skips its tunnel compile. Keys
+    include platform/geometry, so CPU test and TPU bench entries coexist."""
+    import os
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
                  nodes, n_real, batch, n_iters=30,
                  use_spatial=True, use_hier=True, **model_overrides):
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     import numpy as np
     from dgdm_histopath_tpu.models import DGDMModel
     from dgdm_histopath_tpu.ops.graph import PaddedGraph, batch_graphs
