@@ -32,6 +32,68 @@ def fetch_sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
+def ab_int8(args, base_ext, dev):
+    """Paired bf16-vs-int8 device-compute A/B on the same weights.
+
+    Measures the pure device forward (no host transfer in the timed region)
+    because that is what the int8 MXU path changes; the tunnel's upload
+    bound is unaffected (uint8 uploads either way). Also reports the
+    cross-path feature cosine so the speed number always travels with its
+    accuracy cost.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+
+    if base_ext.quant is not None:
+        base_ext = PatchFeatureExtractor(
+            arch=args.arch, batch_size=args.batch,
+            stain_normalize_on_device=args.stain, params=base_ext.params)
+    q_ext = PatchFeatureExtractor(
+        arch=args.arch, batch_size=args.batch,
+        stain_normalize_on_device=args.stain, params=base_ext.params,
+        quant="int8")
+
+    rng = np.random.default_rng(0)
+    host = rng.integers(0, 255, (args.batch, args.patch_px, args.patch_px, 3),
+                        dtype=np.uint8)
+    dev_chunk = jax.device_put(jnp.asarray(host), dev)
+
+    feats = {}
+    rows = []
+    for tag, ext in (("bf16", base_ext), ("int8", q_ext)):
+        fwd_params = ext._qparams if ext.quant == "int8" else ext.params
+        out = ext._fused(fwd_params, dev_chunk)     # compile + warmup
+        feats[tag] = np.asarray(out)
+
+        def run(k):
+            t0 = time.perf_counter()
+            outs = [ext._fused(fwd_params, dev_chunk) for _ in range(k)]
+            fetch_sync(outs[-1])
+            return time.perf_counter() - t0
+
+        run(2)
+        t1, t2 = run(args.n1), run(args.n2)
+        per_batch = (t2 - t1) / (args.n2 - args.n1)
+        rows.append({"tag": tag, "per_batch_s": round(per_batch, 4),
+                     "patches_per_s": round(args.batch / per_batch, 1)})
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    a, b = feats["bf16"], feats["int8"]
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1) + 1e-12)
+    print(json.dumps({
+        "metric": "ab_featurize_int8", "arch": args.arch,
+        "batch": args.batch, "patch_px": args.patch_px, "device": str(dev),
+        "rows": rows,
+        "speedup": round(rows[0]["per_batch_s"] / rows[1]["per_batch_s"], 3),
+        "feature_cosine_min": round(float(cos.min()), 5),
+        "feature_cosine_mean": round(float(cos.mean()), 5),
+        "timing": "forced-fetch two-point slope, paired in one process",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="dinov2")
@@ -46,6 +108,13 @@ def main():
                          "bytes 23%% on the transfer-bound tunnel; device "
                          "stain norm then runs on the resized pixels)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quant", choices=["int8"], default=None,
+                    help="run the w8a8 int8 inference engine "
+                         "(models/vit_int8.py) instead of the bf16 module")
+    ap.add_argument("--ab-int8", action="store_true",
+                    help="paired device-compute A/B: bf16 module vs int8 "
+                         "engine on the SAME weights (back-to-back in one "
+                         "process; only the paired delta is meaningful)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +127,12 @@ def main():
     dev = jax.devices()[0]
     ext = PatchFeatureExtractor(arch=args.arch, batch_size=args.batch,
                                 stain_normalize_on_device=args.stain,
-                                host_resize_upload=args.host_resize)
+                                host_resize_upload=args.host_resize,
+                                quant=args.quant)
+
+    if args.ab_int8:
+        ab_int8(args, ext, dev)
+        return
 
     rng = np.random.default_rng(0)
     host = rng.integers(0, 255, (args.batch, args.patch_px, args.patch_px, 3),
@@ -71,9 +145,11 @@ def main():
     fetch_sync(f)
     compile_s = time.perf_counter() - t0
 
+    fwd_params = ext._qparams if ext.quant == "int8" else ext.params
+
     def run_compute(k):
         t0 = time.perf_counter()
-        outs = [ext._fused(ext.params, dev_chunk) for _ in range(k)]
+        outs = [ext._fused(fwd_params, dev_chunk) for _ in range(k)]
         for o in outs:
             pass
         fetch_sync(outs[-1])          # forced fetch ends the timing

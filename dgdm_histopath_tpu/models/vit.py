@@ -199,7 +199,8 @@ class PatchFeatureExtractor:
                  stain_normalize_on_device: bool = False,
                  stain_alpha: float = 1.0,
                  stain_stats_pixels: int = 4096,
-                 host_resize_upload: bool = False):
+                 host_resize_upload: bool = False,
+                 quant: Optional[str] = None):
         if arch not in _ARCHS:
             # reference treats unknown extractors ("ctp"/"hipt") as fallbacks
             # (tissue_graph_builder.py:129-137)
@@ -224,16 +225,37 @@ class PatchFeatureExtractor:
         self.stain_stats_pixels = stain_stats_pixels
         if arch == "simple_cnn":
             self.module = SimpleConvEncoder()
+            if quant:
+                raise ValueError("quant='int8' requires a ViT arch "
+                                 "(simple_cnn has no quantized path)")
         else:
             self.module = VisionTransformer(**kwargs)
+        if quant not in (None, "int8"):
+            raise ValueError(f"unknown quant mode {quant!r} (None or 'int8')")
+        self.quant = quant
         self.weights_loaded = params is not None
         if params is None:
             dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             params = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.params = params
+        self._refresh_quant_params()
         self._warned_random_init = False
         self._apply = jax.jit(lambda p, x: self.module.apply(p, x))
         self._fused = jax.jit(self._fused_forward)
+
+    def _refresh_quant_params(self) -> None:
+        """(Re)build the pre-quantized int8 weight tree from self.params.
+
+        Runs once per weight load (jitted: the per-channel max/round work is
+        one pass over the params); inference batches then carry int8 kernels
+        + f32 scales instead of f32 kernels — half the weight HBM traffic
+        and the MXU's 2x int8 path (see models/vit_int8.py).
+        """
+        if self.quant == "int8":
+            from .vit_int8 import quantize_vit_params
+            self._qparams = jax.jit(quantize_vit_params)(self.params)
+        else:
+            self._qparams = None
 
     def _fused_forward(self, params, patches_u8: jnp.ndarray) -> jnp.ndarray:
         """uint8 [B, S, S, 3] -> features [B, D], fully on device."""
@@ -254,6 +276,12 @@ class PatchFeatureExtractor:
                 method="bilinear")
         x = x / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        if self.quant == "int8":
+            # `params` here is the pre-quantized tree (see dispatch): int8
+            # kernels upload/cache at half the f32 bytes and feed the MXU's
+            # 2x int8 path directly
+            from .vit_int8 import vit_int8_forward
+            return vit_int8_forward(params, x)
         return self.module.apply(params, x)
 
     def extract(self, patches: np.ndarray) -> np.ndarray:
@@ -296,7 +324,8 @@ class PatchFeatureExtractor:
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad, *chunk.shape[1:]), np.uint8)])
-        return self._fused(self.params, jnp.asarray(chunk)), real
+        fwd_params = self._qparams if self.quant == "int8" else self.params
+        return self._fused(fwd_params, jnp.asarray(chunk)), real
 
     @staticmethod
     def materialize(pending) -> np.ndarray:
@@ -316,3 +345,4 @@ class PatchFeatureExtractor:
         from ..training.checkpoint import load_model_bundle
         self.params = load_model_bundle(path, self.params)
         self.weights_loaded = True
+        self._refresh_quant_params()
