@@ -359,6 +359,56 @@ def main():
             best = max(results, key=lambda r: r["value"])
             print(json.dumps(best))
         return
+    if "--scale-sweep" in sys.argv:
+        # node-count scaling of the windowed+banded config (ADR-0004
+        # add.9/10) at Large geometry, constant total-node budget per step
+        # (8192 nodes): the combined config is linear in N, so ms/graph
+        # should scale ~linearly with bucket size where the dense parity
+        # formulation is quadratic. This is the capability the reference
+        # structurally lacks — it caps slides at max_patches=2000
+        # (/root/reference/configs/dgdm_large.yaml) because its dense N^2
+        # spatial attention and per-graph Python loops make larger graphs
+        # intractable. A guarded dense row at 8192 records the cliff.
+        rows = []
+        for nodes, b in ((2048, 4), (4096, 2), (8192, 1)):
+            try:
+                r = bench_config(f"scale_windowed_{nodes}", node_features=1024,
+                                 hidden_dims=(768, 512, 256, 128),
+                                 num_steps=20, heads=16, layers=4,
+                                 nodes=nodes, n_real=nodes - 48, batch=b,
+                                 n_iters=10, spatial_window=128,
+                                 graph_window=128)
+                rows.append({"nodes": nodes, "batch": b,
+                             "step_ms": r["step_time_ms"],
+                             "ms_per_graph": round(r["step_time_ms"] / b, 3),
+                             "ms_per_knode": round(
+                                 r["step_time_ms"] / b / (nodes / 1024), 3),
+                             "graphs_per_s": r["value"], "mfu": r["mfu"],
+                             "hbm_gb": (r.get("memory_analysis") or {}).get(
+                                 "hbm_highwater_gb")})
+            except Exception as exc:  # noqa: BLE001 - record OOM, continue
+                rows.append({"nodes": nodes, "batch": b, "error":
+                             f"{type(exc).__name__}: {str(exc)[:200]}"})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        dense8k = None
+        if "--with-dense-8k" in sys.argv:
+            try:
+                r = bench_config("scale_dense_8192", node_features=1024,
+                                 hidden_dims=(768, 512, 256, 128),
+                                 num_steps=20, heads=16, layers=4,
+                                 nodes=8192, n_real=8144, batch=1, n_iters=5)
+                dense8k = {"nodes": 8192, "batch": 1,
+                           "step_ms": r["step_time_ms"],
+                           "graphs_per_s": r["value"], "mfu": r["mfu"],
+                           "hbm_gb": (r.get("memory_analysis") or {}).get(
+                               "hbm_highwater_gb")}
+            except Exception as exc:  # noqa: BLE001
+                dense8k = {"nodes": 8192, "batch": 1, "error":
+                           f"{type(exc).__name__}: {str(exc)[:200]}"}
+            print(json.dumps(dense8k), file=sys.stderr)
+        print(json.dumps({"metric": "scale_sweep_large_windowed_w128",
+                          "rows": rows, "dense_8192": dense8k}))
+        return
     if "--ablate-large" in sys.argv:
         # component split of the LARGE step (2048-node bucket, batch 4):
         # the batch sweep shows the chip saturated at batch 4 (linear

@@ -679,3 +679,44 @@ class TestBandedGraphLayers:
         b = np.asarray(fallback.apply(params, g,
                                       mode="inference")["classification_logits"])
         np.testing.assert_array_equal(a, b)
+
+
+class TestScaleBuckets:
+    """8192-node bucket under the windowed+banded scaling config.
+
+    The reference structurally caps slides at max_patches=2000
+    (/root/reference/configs/dgdm_large.yaml:41) because its dense N^2
+    spatial attention and per-graph Python loops make larger graphs
+    intractable; the windowed+banded config is linear in N, so an 8k-node
+    bucket is a supported geometry here. This pins that the full model
+    (spatial attention + banded encoder + U-Net + diffusion + pooling)
+    traces and runs at N=8192 with finite, mask-correct outputs.
+    """
+
+    @pytest.mark.slow
+    def test_8k_bucket_windowed_forward(self):
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+        n, real = 8192, 8000
+        g = batch_graphs([spatial_sort(make_synthetic_graph(
+            seed=3, n_nodes=n, n_real=real, feat_dim=16))])
+        model = DGDMModel(node_features=16, hidden_dims=(32, 16),
+                          num_diffusion_steps=4, attention_heads=4,
+                          graph_layers=2, num_classes=3,
+                          compute_dtype="float32",
+                          spatial_window=128, graph_window=128)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2),
+             "dropout": jax.random.PRNGKey(3)}, g, mode="pretrain")
+        out = model.apply(params, g, mode="inference")
+        logits = np.asarray(out["classification_logits"])
+        assert logits.shape == (1, 3)
+        assert np.all(np.isfinite(logits))
+        # padded nodes must not contribute: perturbing them is a no-op
+        x2 = np.asarray(g.x).copy()
+        x2[0, ~np.asarray(g.node_mask[0])] = 7.7
+        g2 = g.replace(x=jnp.asarray(x2))
+        logits2 = np.asarray(model.apply(params, g2,
+                                         mode="inference")["classification_logits"])
+        np.testing.assert_allclose(logits, logits2, atol=1e-5)

@@ -76,6 +76,13 @@ class TestConfig:
         assert w.model.graph_window == 128
         assert w.data.spatial_sort is True
         assert w.data.knn_window == 128
+        # the XL preset extends the bucket ladder to 8192-node slide graphs
+        # (4x the reference's max_patches=2000 structural cap)
+        xl = load_config(cfg_dir / "dgdm_xl_windowed.yaml", apply_env=False)
+        assert xl.data.max_patches == 8000
+        assert xl.data.node_buckets[-1] == 8192
+        assert xl.model.spatial_window == 128 and xl.model.graph_window == 128
+        assert xl.data.spatial_sort is True and xl.data.knn_window == 128
 
     def test_config_transaction_rollback(self, tmp_path):
         p = tmp_path / "c.yaml"
