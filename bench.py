@@ -359,6 +359,80 @@ def main():
             best = max(results, key=lambda r: r["value"])
             print(json.dumps(best))
         return
+    if "--ab-int8-infer" in sys.argv:
+        # paired float-vs-int8 INFERENCE forward (models/quantized.py):
+        # eligible Dense layers on the int8 MXU path, data-data matmuls
+        # (adjacency aggregation, attention) unchanged. The logit cosine is
+        # reported beside the speedup so the accuracy cost always travels
+        # with the number.
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        _enable_compile_cache()
+        from dgdm_histopath_tpu.models import DGDMModel
+        from dgdm_histopath_tpu.models.quantized import int8_apply
+        from dgdm_histopath_tpu.ops.graph import PaddedGraph, batch_graphs
+        from dgdm_histopath_tpu.ops.knn import knn_euclidean
+
+        def mkgraph(seed, nodes=1024, n_real=1000, feat=768):
+            rs = np.random.RandomState(seed)
+            x = np.zeros((nodes, feat), np.float32)
+            x[:n_real] = rs.randn(n_real, feat).astype(np.float32)
+            pos = np.zeros((nodes, 2), np.float32)
+            pos[:n_real] = rs.rand(n_real, 2)
+            mask = np.zeros((nodes,), bool)
+            mask[:n_real] = True
+            idx, dist, valid = knn_euclidean(jnp.asarray(pos),
+                                             jnp.asarray(mask), 8)
+            ea = jnp.stack([dist, jnp.exp(-10.0 * dist),
+                            jnp.zeros_like(dist)], -1)
+            return PaddedGraph(x=jnp.asarray(x), pos=jnp.asarray(pos),
+                               nbr_idx=idx, nbr_mask=valid, edge_attr=ea,
+                               node_mask=jnp.asarray(mask),
+                               y=jnp.asarray(seed % 2, jnp.int32))
+
+        batch = 32
+        g = batch_graphs([mkgraph(i) for i in range(batch)])
+        model = DGDMModel(node_features=768, hidden_dims=(512, 256, 128),
+                          num_diffusion_steps=10, attention_heads=8,
+                          graph_layers=4, num_classes=2, pooling="attention")
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2),
+             "dropout": jax.random.PRNGKey(3)}, g, mode="pretrain")
+        fwd_f = jax.jit(lambda p, gg: model.apply(
+            p, gg, mode="inference", deterministic=True)
+            ["classification_logits"])
+        fwd_q = jax.jit(lambda p, gg: int8_apply(
+            model, p, gg, mode="inference", deterministic=True)
+            ["classification_logits"])
+
+        rows, logits = [], {}
+        for tag, fn in (("float", fwd_f), ("int8", fwd_q)):
+            logits[tag] = np.asarray(fn(params, g), np.float32)  # warmup
+            def run(k, fn=fn):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(k):
+                    out = fn(params, g)
+                float(out.ravel()[0])                # real sync point
+                return time.perf_counter() - t0
+            run(3)
+            t1, t2 = run(10), run(30)
+            per = (t2 - t1) / 20
+            rows.append({"tag": tag, "forward_ms": round(per * 1e3, 3),
+                         "graphs_per_s": round(batch / per, 1)})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        a, b = logits["float"], logits["int8"]
+        cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                                   * np.linalg.norm(b, axis=-1) + 1e-12)
+        print(json.dumps({
+            "metric": "ab_int8_inference_base_b32", "rows": rows,
+            "speedup": round(rows[0]["forward_ms"] / rows[1]["forward_ms"], 3),
+            "logit_cosine_min": round(float(cos.min()), 5),
+            "timing": "forced-fetch two-point slope, paired in one process"}))
+        return
     if "--scale-sweep" in sys.argv:
         # node-count scaling of the windowed+banded config (ADR-0004
         # add.9/10) at Large geometry, constant total-node budget per step

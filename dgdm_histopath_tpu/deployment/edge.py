@@ -126,9 +126,19 @@ class EdgeInferenceEngine:
         self.model = model
         self.params = EdgeModelOptimizer.restore(packed_params)
         self.config = config or EdgeConfig()
-        self._forward = jax.jit(
-            lambda p, g: self.model.apply(p, g, mode="inference",
-                                          deterministic=True))
+        if self.config.quantization == "int8":
+            # int8-packaged models also COMPUTE int8: eligible Dense layers
+            # run on the int8 MXU path (models/quantized.py) instead of the
+            # reference's dequantize-then-float-compute
+            # (reference deployment/edge_deployment.py:202-206)
+            from ..models.quantized import int8_apply
+            self._forward = jax.jit(
+                lambda p, g: int8_apply(self.model, p, g, mode="inference",
+                                        deterministic=True))
+        else:
+            self._forward = jax.jit(
+                lambda p, g: self.model.apply(p, g, mode="inference",
+                                              deterministic=True))
         self.stats = {"requests": 0, "total_latency_s": 0.0,
                       "max_latency_s": 0.0}
 

@@ -88,7 +88,11 @@ class DGDMPredictor:
         stain_normalize: bool = True,
         node_buckets: Sequence[int] = (128, 256, 512, 1024, 2048),
         decode_workers: int = 4,
+        quant: Optional[str] = None,
     ):
+        if quant not in (None, "int8"):
+            raise InferenceError(f"unsupported quant mode: {quant!r}")
+        self.quant = quant
         self.decode_workers = int(decode_workers)
         self._pool = None
         if model_path is not None:
@@ -109,7 +113,8 @@ class DGDMPredictor:
         if fuse_stain:
             from ..models.vit import PatchFeatureExtractor
             extractor = PatchFeatureExtractor(
-                arch=feature_extractor, stain_normalize_on_device=True)
+                arch=feature_extractor, stain_normalize_on_device=True,
+                quant=quant)
         # a windowed model (spatial_window/graph_window) is only meaningful
         # on Morton-sorted nodes, and banded message passing is exact only
         # on band-built edges — derive the build config from the model so
@@ -119,11 +124,22 @@ class DGDMPredictor:
         self.graph_builder = TissueGraphBuilder(
             feature_extractor=feature_extractor, node_buckets=list(node_buckets),
             extractor=extractor, spatial_sort=bool(gw or sw), knn_window=gw)
-        self._forward = jax.jit(
-            lambda p, g: self.model.apply(p, g, mode="inference",
-                                          deterministic=True,
-                                          return_attention=True),
-            static_argnames=())
+        if quant == "int8":
+            # every eligible Dense computes on the int8 MXU path (2x bf16
+            # FLOP rate); data-data matmuls (adjacency aggregation,
+            # attention) keep float numerics — models/quantized.py
+            from ..models.quantized import int8_apply
+            self._forward = jax.jit(
+                lambda p, g: int8_apply(self.model, p, g, mode="inference",
+                                        deterministic=True,
+                                        return_attention=True),
+                static_argnames=())
+        else:
+            self._forward = jax.jit(
+                lambda p, g: self.model.apply(p, g, mode="inference",
+                                              deterministic=True,
+                                              return_attention=True),
+                static_argnames=())
 
     def _decode_pool(self):
         """Persistent process pool for parallel patch decode (lazy).

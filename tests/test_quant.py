@@ -135,3 +135,105 @@ class TestQuantizedExtractor:
     def test_unknown_mode_rejects(self):
         with pytest.raises(ValueError):
             PatchFeatureExtractor(arch="vit_small", quant="int4")
+
+
+class TestDGDMInt8Apply:
+    """int8_apply: the full DGDM graph model with Dense layers on the int8
+    MXU path (models/quantized.py). Data-data matmuls (adjacency, attention
+    scores) stay float, so logits must track the float forward closely."""
+
+    def _model_and_graph(self):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from conftest import make_synthetic_graph
+        from dgdm_histopath_tpu.models import DGDMModel
+        from dgdm_histopath_tpu.ops.graph import batch_graphs
+
+        g = batch_graphs([make_synthetic_graph(
+            seed=i, n_nodes=64, n_real=56, feat_dim=128, num_classes=3)
+            for i in range(2)])
+        model = DGDMModel(node_features=128, hidden_dims=(128, 64),
+                          num_diffusion_steps=4, attention_heads=4,
+                          graph_layers=2, num_classes=3,
+                          compute_dtype="float32")
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2),
+             "dropout": jax.random.PRNGKey(3)}, g, mode="pretrain")
+        return model, params, g
+
+    def test_logit_cosine_vs_float(self):
+        from dgdm_histopath_tpu.models.quantized import int8_apply
+
+        model, params, g = self._model_and_graph()
+        ref = np.asarray(model.apply(params, g, mode="inference")
+                         ["classification_logits"], np.float32)
+        got = np.asarray(int8_apply(model, params, g, mode="inference")
+                         ["classification_logits"], np.float32)
+        # per-graph logit cosine: int8 Dense quantization must not distort
+        # the decision geometry
+        cos = np.sum(ref * got, -1) / (
+            np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-12)
+        assert cos.min() > 0.98, (cos, ref, got)
+        assert np.all(np.isfinite(got))
+
+    def test_int8_actually_changes_program(self):
+        """The interceptor must reroute at least the wide Dense layers:
+        identical outputs would mean it silently never fired."""
+        from dgdm_histopath_tpu.models.quantized import int8_apply
+
+        model, params, g = self._model_and_graph()
+        ref = np.asarray(model.apply(params, g, mode="inference")
+                         ["classification_logits"], np.float32)
+        got = np.asarray(int8_apply(model, params, g, mode="inference")
+                         ["classification_logits"], np.float32)
+        assert np.abs(ref - got).max() > 0
+
+    def test_jit_and_mask_invariance(self):
+        from dgdm_histopath_tpu.models.quantized import int8_apply
+
+        model, params, g = self._model_and_graph()
+        fwd = jax.jit(lambda p, gg: int8_apply(
+            model, p, gg, mode="inference")["classification_logits"])
+        a = np.asarray(fwd(params, g))
+        # padded-node perturbation must not move real outputs (dynamic
+        # per-row activation scales are per-node, so padding can't bleed
+        # through the quantizer either)
+        x2 = np.asarray(g.x).copy()
+        x2[~np.asarray(g.node_mask)] = 9.9
+        b = np.asarray(fwd(params, g.replace(x=jnp.asarray(x2))))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_min_features_gate(self):
+        """min_features larger than every layer width must reproduce the
+        float forward bit-exactly (no Dense rerouted)."""
+        from dgdm_histopath_tpu.models.quantized import int8_apply
+
+        model, params, g = self._model_and_graph()
+        ref = np.asarray(model.apply(params, g, mode="inference")
+                         ["classification_logits"], np.float32)
+        got = np.asarray(int8_apply(model, params, g, mode="inference",
+                                    min_features=100000)
+                         ["classification_logits"], np.float32)
+        np.testing.assert_array_equal(ref, got)
+
+    def test_predictor_quant_knob(self):
+        from dgdm_histopath_tpu.evaluation.predictor import DGDMPredictor
+
+        model, params, g = self._model_and_graph()
+        pred = DGDMPredictor(model=model, params=params,
+                             feature_extractor="none", quant="int8")
+        out = pred.predict_graph(jax.tree_util.tree_map(
+            lambda a: a[0] if hasattr(a, "ndim") else a, g))
+        assert "probabilities" in out and np.isfinite(out["logits"]).all()
+
+    def test_predictor_rejects_unknown_quant(self):
+        from dgdm_histopath_tpu.evaluation.predictor import DGDMPredictor
+        from dgdm_histopath_tpu.utils.exceptions import InferenceError
+
+        model, params, g = self._model_and_graph()
+        with pytest.raises(InferenceError):
+            DGDMPredictor(model=model, params=params,
+                          feature_extractor="none", quant="int4")
