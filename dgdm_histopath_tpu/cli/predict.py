@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feature-extractor", default="dinov2")
     p.add_argument("--tissue-threshold", type=float, default=0.8)
     p.add_argument("--no-stain-normalize", action="store_true")
+    p.add_argument("--quant", choices=["int8"], default=None,
+                   help="w8a8 int8 inference: Dense layers (model + ViT "
+                        "featurizer) compute on the int8 MXU path")
     p.add_argument("--save-heatmaps", action="store_true")
     p.add_argument("--format", choices=["json", "csv", "both"], default="json")
     p.add_argument("--class-names", type=str, default=None,
@@ -65,7 +68,7 @@ def main(argv=None) -> int:
         magnification=args.magnification, max_patches=args.max_patches,
         feature_extractor=args.feature_extractor,
         tissue_threshold=args.tissue_threshold,
-        stain_normalize=not args.no_stain_normalize)
+        stain_normalize=not args.no_stain_normalize, quant=args.quant)
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 

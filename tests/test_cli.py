@@ -95,6 +95,19 @@ class TestTrainPredictCLI:
         assert "probabilities" in result and "uncertainty" in result
         assert (preds / "predictions.csv").exists()
 
+        # int8 inference through the same CLI surface: valid predictions
+        preds8 = fixture_dir / "preds_int8"
+        rc = predict_main([
+            "--model", str(out / "final_model.npz"),
+            "--input", str(fixture_dir / "graphs"),
+            "--output-dir", str(preds8), "--quant", "int8"])
+        assert rc == 0
+        files8 = sorted(preds8.glob("*.json"))
+        assert len(files8) == 3
+        r8 = json.loads(files8[0].read_text())
+        assert "probabilities" in r8
+        assert all(np.isfinite(v) for v in r8["probabilities"])
+
     def test_missing_model_error(self, tmp_path):
         from dgdm_histopath_tpu.cli.predict import main
         from dgdm_histopath_tpu.utils.exceptions import InferenceError
