@@ -606,6 +606,29 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ab_graph_window_base_b32", "rows": rows}))
         return
+    if "--ab-base-128" in sys.argv:
+        # window-size sweep of the COMBINED config at Base: W=64 measured
+        # 1.23x (add.10) but its [nb,W,3W] band matmuls put only 64 rows on
+        # the 128-row MXU tile; W=128 doubles the banded work yet tiles
+        # perfectly — paired against dense and the W=64 combined config.
+        rows = []
+        for tag, ov in (("dense", {}),
+                        ("band64_win64", {"graph_window": 64,
+                                          "spatial_window": 64}),
+                        ("band128_win128", {"graph_window": 128,
+                                            "spatial_window": 128})):
+            r = bench_config(f"b128_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "temp_bytes": (r.get("memory_analysis") or {}).get(
+                             "temp_size_in_bytes")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_combined_window_size_base_b32",
+                          "rows": rows}))
+        return
     if "--ab-band-large" in sys.argv:
         # banded message passing at DGDM-Large (2048-node bucket): the
         # [N,N] adjacency share is 4x Base. window128 matches the measured

@@ -156,6 +156,12 @@ def main(argv=None):
                          "(unconstrained graphs, all-pairs attention) and "
                          "the windowed scaling config, and report both AUCs "
                          "— the accuracy gate for the windowed formulation")
+    ap.add_argument("--ab-int8", action="store_true",
+                    help="after training, ALSO evaluate the same finetuned "
+                         "params with int8 (w8a8) Dense inference "
+                         "(models/quantized.py) and report the AUC delta — "
+                         "the end-task accuracy gate for the quantized "
+                         "serving path")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (the axon sitecustomize pins the TPU "
@@ -304,6 +310,30 @@ def main(argv=None):
             np.asarray(labels), np.concatenate(probs, axis=0))
         m["best_val_loss"] = fit["best_val_loss"]
         print(f"[eval_c16] [{tag}] auc={m.get('auc')} f1={m.get('f1')}")
+        if args.ab_int8:
+            # same finetuned params, Dense layers on the int8 MXU path —
+            # the end-task accuracy gate for the quantized serving path
+            import jax as _jax
+            from dgdm_histopath_tpu.models.quantized import int8_apply
+            fwd8 = _jax.jit(lambda p, gg: int8_apply(
+                model, p, gg, mode="inference",
+                deterministic=True)["classification_logits"])
+            probs8 = []
+            for j in range(0, len(test_graphs), args.batch_size):
+                chunk = test_graphs[j:j + args.batch_size]
+                logits = np.asarray(
+                    fwd8(trainer.state.params, batch_graphs(chunk)),
+                    np.float64)
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                probs8.append(p / p.sum(-1, keepdims=True))
+            m8 = compute_classification_metrics(
+                np.asarray(labels), np.concatenate(probs8, axis=0))
+            m["auc_int8"] = m8.get("auc")
+            m["f1_int8"] = m8.get("f1")
+            m["int8_auc_delta"] = (None if m.get("auc") is None
+                                   else round(m8["auc"] - m["auc"], 4))
+            print(f"[eval_c16] [{tag}] int8: auc={m8.get('auc')} "
+                  f"f1={m8.get('f1')} delta={m['int8_auc_delta']}")
         return m
 
     # a variant = (tag, model kwargs, graph-build knn_window). The windowed
@@ -333,6 +363,8 @@ def main(argv=None):
         "bucket": bucket, "max_patches": max_patches,
         "auc": metrics.get("auc"), "f1": metrics.get("f1"),
         "accuracy": metrics.get("accuracy"),
+        "auc_int8": metrics.get("auc_int8"),
+        "int8_auc_delta": metrics.get("int8_auc_delta"),
         "reference_target": target,
         "auc_delta_vs_reference": (None if metrics.get("auc") is None
                                    else round(metrics["auc"]
