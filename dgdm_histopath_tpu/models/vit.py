@@ -249,7 +249,8 @@ class PatchFeatureExtractor:
         Runs once per weight load (jitted: the per-channel max/round work is
         one pass over the params); inference batches then carry int8 kernels
         + f32 scales instead of f32 kernels — half the weight HBM traffic
-        and the MXU's 2x int8 path (see models/vit_int8.py).
+        (measured speed-negative on the current XLA toolchain: ADR-0004
+        add.13; see models/vit_int8.py).
         """
         if self.quant == "int8":
             from .vit_int8 import quantize_vit_params
@@ -278,8 +279,7 @@ class PatchFeatureExtractor:
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         if self.quant == "int8":
             # `params` here is the pre-quantized tree (see dispatch): int8
-            # kernels upload/cache at half the f32 bytes and feed the MXU's
-            # 2x int8 path directly
+            # kernels upload/cache at half the f32 bytes
             from .vit_int8 import vit_int8_forward
             return vit_int8_forward(params, x)
         return self.module.apply(params, x)

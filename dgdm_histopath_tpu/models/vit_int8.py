@@ -7,8 +7,12 @@ params plug in unchanged. Weights are pre-quantized ONCE at load
 (:func:`quantize_vit_params`); activations are dynamically quantized per
 token inside the fused program. The six big matmuls per transformer block
 (q/k/v/out projections + the two MLP layers, ~90% of ViT FLOPs) run on the
-MXU's int8 path (2× bf16 peak on v5e); LayerNorm/softmax/GELU and the
-attention score/value contractions stay in float.
+MXU's int8 path; LayerNorm/softmax/GELU and the attention score/value
+contractions stay in float. MEASURED on hardware the path is 0.775× —
+XLA's int8 dot_general does not reach the native 2× rate on this
+toolchain, so this ships as an accuracy-safe memory tier (feature cosine
+0.9998), not a speed tier (ADR-0004 add.13; paired A/B
+``bench_featurize --ab-int8`` re-runs unchanged on future toolchains).
 
 The reference quantizes int8 for *storage* and computes in float
 (reference ``deployment/edge.py``); this is the compute-path counterpart,

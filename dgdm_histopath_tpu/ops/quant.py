@@ -1,8 +1,14 @@
 """Int8 (w8a8) quantized matmul primitives for TPU inference.
 
 TPU v5e's MXU runs int8×int8→int32 at 2× its bf16 FLOP rate (394 vs 197
-TOPS), so a weight+activation-quantized dense layer halves the compute time
-of the inference hot path once the program is MXU-bound. The reference's
+TOPS) in principle; MEASURED through the current XLA toolchain the int8
+path is speed-neutral-to-negative (0.995× DGDM inference, 0.775× ViT
+featurize — paired hardware A/Bs, ADR-0004 add.13): ``dot_general`` with
+int8 operands does not reach the native int8 rate here and the dynamic
+activation-quant VPU work nets negative. The path is accuracy-safe
+(feature/logit cosine ≥0.9998, staged-loop AUC delta 0.0) and shipped as
+an opt-in memory/storage tier; the A/Bs re-run unchanged if a future
+toolchain maps the fast path. The reference's
 edge-deployment path quantizes weights for *storage* only and dequantizes
 back to float before compute (reference ``deployment/edge.py`` int8 export);
 here the matmul itself runs on the int8 MXU path:
