@@ -94,6 +94,57 @@ def ab_int8(args, base_ext, dev):
     }))
 
 
+def ab_stain(args, dev):
+    """Paired device-compute A/B: fused stain-norm+ViT vs ViT alone.
+
+    Isolates the per-patch Macenko share of the featurize program (vmapped
+    3×3 eigh + lstsq + OD transforms per patch) from the transformer
+    itself, so optimization effort aims at the measured term.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dgdm_histopath_tpu.models.vit import PatchFeatureExtractor
+
+    base = PatchFeatureExtractor(arch=args.arch, batch_size=args.batch,
+                                 stain_normalize_on_device=True)
+    plain = PatchFeatureExtractor(arch=args.arch, batch_size=args.batch,
+                                  stain_normalize_on_device=False,
+                                  params=base.params)
+    rng = np.random.default_rng(0)
+    host = rng.integers(0, 255, (args.batch, args.patch_px, args.patch_px, 3),
+                        dtype=np.uint8)
+    dev_chunk = jax.device_put(jnp.asarray(host), dev)
+
+    rows = []
+    for tag, ext in (("stain+vit", base), ("vit_only", plain)):
+        out = ext._fused(ext.params, dev_chunk)
+        fetch_sync(out)
+
+        def run(k, ext=ext):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                out = ext._fused(ext.params, dev_chunk)
+            fetch_sync(out)
+            return time.perf_counter() - t0
+
+        run(2)
+        t1, t2 = run(args.n1), run(args.n2)
+        per_batch = (t2 - t1) / (args.n2 - args.n1)
+        rows.append({"tag": tag, "per_batch_s": round(per_batch, 4),
+                     "patches_per_s": round(args.batch / per_batch, 1)})
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    stain_s = rows[0]["per_batch_s"] - rows[1]["per_batch_s"]
+    print(json.dumps({
+        "metric": "ab_featurize_stain_share", "arch": args.arch,
+        "batch": args.batch, "patch_px": args.patch_px, "device": str(dev),
+        "rows": rows,
+        "stain_share": round(stain_s / rows[0]["per_batch_s"], 3),
+        "stain_ms_per_batch": round(stain_s * 1e3, 2),
+        "timing": "forced-fetch two-point slope, paired in one process"}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="dinov2")
@@ -115,6 +166,9 @@ def main():
                     help="paired device-compute A/B: bf16 module vs int8 "
                          "engine on the SAME weights (back-to-back in one "
                          "process; only the paired delta is meaningful)")
+    ap.add_argument("--ab-stain", action="store_true",
+                    help="paired device-compute A/B: fused stain+ViT vs "
+                         "ViT alone — isolates the Macenko share")
     args = ap.parse_args()
 
     import jax
@@ -132,6 +186,9 @@ def main():
 
     if args.ab_int8:
         ab_int8(args, ext, dev)
+        return
+    if args.ab_stain:
+        ab_stain(args, dev)
         return
 
     rng = np.random.default_rng(0)

@@ -327,3 +327,35 @@ class TestVisualizer:
         else:
             with pytest.raises(ImportError):
                 to_plotly_figure(spec)
+
+
+class TestXLBucketPredict:
+    """8192-node bucket through the real predict path (XL preset geometry,
+    small model dims for CI): graph ingestion picks the 8192 bucket, the
+    windowed+banded forward runs, outputs are finite and mask-correct."""
+
+    @pytest.mark.slow
+    def test_predict_graph_8k_bucket(self):
+        from dgdm_histopath_tpu.ops.graph import batch_graphs
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+
+        model = DGDMModel(node_features=16, hidden_dims=(32, 16),
+                          num_diffusion_steps=4, attention_heads=4,
+                          graph_layers=2, num_classes=3,
+                          use_hierarchical=False, compute_dtype="float32",
+                          spatial_window=128, graph_window=128)
+        g = spatial_sort(make_synthetic_graph(
+            seed=11, n_nodes=8192, n_real=7800, feat_dim=16))
+        batched = batch_graphs([g])
+        params = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "masking": jax.random.PRNGKey(2)}, batched, mode="pretrain",
+            deterministic=True)
+        pred = DGDMPredictor(model=model, params=params,
+                             feature_extractor="none",
+                             node_buckets=[256, 512, 1024, 2048, 4096, 8192])
+        out = pred.predict_graph(g)
+        assert out["probabilities"].shape == (3,)
+        assert np.isfinite(out["logits"]).all()
+        assert np.isfinite(out["graph_embedding"]).all()
