@@ -13,6 +13,10 @@ from .halo import (
     HaloPlan, build_halo_plan, halo_gather, halo_fraction, spatial_sort,
     spatial_permutation, permute_graph, sp_graph_conv,
 )
+from .pp import (
+    PIPE_AXIS, pipe_size, stack_layer_params, unstack_layer_params,
+    make_pp_layers_fn, pp_graph_encoder_apply, pp_bubble_fraction,
+)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
@@ -22,4 +26,6 @@ __all__ = [
     "node_sharding", "shard_graph_nodes", "constrain_nodes",
     "HaloPlan", "build_halo_plan", "halo_gather", "halo_fraction",
     "spatial_sort", "spatial_permutation", "permute_graph", "sp_graph_conv",
+    "PIPE_AXIS", "pipe_size", "stack_layer_params", "unstack_layer_params",
+    "make_pp_layers_fn", "pp_graph_encoder_apply", "pp_bubble_fraction",
 ]
