@@ -79,6 +79,15 @@ class DGDMModel(nn.Module):
     # lever for 2048+-node buckets (see nn.attention.SpatialAttention);
     # requires TissueGraphBuilder(spatial_sort=True) to be meaningful
     spatial_window: Optional[int] = None
+    # Mixture-of-Experts residual FFN after the message-passing stack
+    # (beyond parity — the reference has no MoE): 0 disables; E > 0 adds a
+    # pre-norm top-k routed expert block whose params can shard over an
+    # 'expert' mesh axis (parallel/ep.py). Adds "moe_aux_loss" to outputs;
+    # the trainer weights it by TrainerConfig.moe_aux_weight.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity: float = 1.5
+    moe_hidden: Optional[int] = None   # default 2× hidden
     # banded (Morton-window) message passing in the GraphEncoder: key
     # gather + conv aggregation run over the ±1-block band (3W keys)
     # instead of all N, dropping out-of-band edges from messages and
@@ -108,6 +117,10 @@ class DGDMModel(nn.Module):
             raise ConfigurationError("spatial_window must be positive")
         if self.graph_window is not None and self.graph_window <= 0:
             raise ConfigurationError("graph_window must be positive")
+        if self.moe_experts < 0:
+            raise ConfigurationError("moe_experts must be >= 0")
+        if self.moe_experts and self.moe_top_k not in (1, 2):
+            raise ConfigurationError("moe_top_k must be 1 or 2")
 
     def setup(self):
         self._validate()
@@ -126,6 +139,16 @@ class DGDMModel(nn.Module):
             remat=self.use_remat, gather_impl=self.gather_impl,
             band_window=self.graph_window,
             dtype=dtype, param_dtype=pdtype)
+        if self.moe_experts > 0:
+            from ..nn.moe import MoEFFN
+            self.moe_norm = nn.LayerNorm(dtype=dtype, param_dtype=pdtype,
+                                         name="moe_norm")
+            self.moe_ffn = MoEFFN(
+                features=hidden,
+                hidden_dim=self.moe_hidden or 2 * hidden,
+                num_experts=self.moe_experts, top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity,
+                activation=self.activation, dtype=dtype, param_dtype=pdtype)
         if self.use_spatial_attention:
             self.spatial_attention = SpatialAttention(
                 embed_dim=hidden, num_heads=self.attention_heads,
@@ -192,6 +215,14 @@ class DGDMModel(nn.Module):
         h = enc["embeddings"]
         if return_attention:
             outputs["edge_attentions"] = enc["attentions"]
+
+        # 2b. optional MoE residual FFN (beyond parity; mask-correct —
+        # padded nodes claim no expert capacity and receive zeros)
+        if self.moe_experts > 0:
+            moe_out, moe_aux = self.moe_ffn(
+                self.moe_norm(h), node_mask, deterministic=deterministic)
+            h = h + moe_out
+            outputs["moe_aux_loss"] = moe_aux
 
         # 3. spatial attention with distance bias — batched, masked
         if self.use_spatial_attention:

@@ -17,6 +17,7 @@ from .pp import (
     PIPE_AXIS, pipe_size, stack_layer_params, unstack_layer_params,
     make_pp_layers_fn, pp_graph_encoder_apply, pp_bubble_fraction,
 )
+from .ep import EXPERT_AXIS, ep_size, ep_param_specs, count_expert_sharded
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
@@ -28,4 +29,5 @@ __all__ = [
     "spatial_sort", "spatial_permutation", "permute_graph", "sp_graph_conv",
     "PIPE_AXIS", "pipe_size", "stack_layer_params", "unstack_layer_params",
     "make_pp_layers_fn", "pp_graph_encoder_apply", "pp_bubble_fraction",
+    "EXPERT_AXIS", "ep_size", "ep_param_specs", "count_expert_sharded",
 ]

@@ -70,6 +70,7 @@ class TrainerConfig:
     accumulate_grad_batches: int = 1
     finetune_lr_factor: float = 0.1  # LR drop at phase transition
     steps_per_epoch: int = 1000      # estimate; refined by fit()
+    moe_aux_weight: float = 0.01     # Switch load-balance loss coefficient
 
     @classmethod
     def from_config(cls, cfg: DGDMConfig) -> "TrainerConfig":
@@ -219,6 +220,9 @@ class DGDMTrainer:
                                      rng=jax.random.fold_in(rngs["masking"], 17))
             metrics["contrastive_loss"] = closs
             loss = loss + closs
+        if "moe_aux_loss" in out:
+            metrics["moe_aux_loss"] = out["moe_aux_loss"]
+            loss = loss + self.config.moe_aux_weight * out["moe_aux_loss"]
         metrics["loss"] = loss
         return loss, metrics
 
@@ -234,6 +238,15 @@ class DGDMTrainer:
         # carry zero weight
         valid = jnp.any(batch.node_mask, axis=-1).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(valid), 1.0)
+
+        def with_aux(loss, metrics):
+            if "moe_aux_loss" in out:
+                metrics["moe_aux_loss"] = out["moe_aux_loss"]
+                loss = (loss
+                        + self.config.moe_aux_weight * out["moe_aux_loss"])
+                metrics["loss"] = loss
+            return loss, metrics
+
         if self.task == "classification":
             logits = out["classification_logits"].astype(jnp.float32)
             labels = batch.y.astype(jnp.int32)
@@ -242,13 +255,13 @@ class DGDMTrainer:
             loss = jnp.sum(per * valid) / denom
             correct = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
             acc = jnp.sum(correct * valid) / denom
-            return loss, {"loss": loss, "accuracy": acc}
+            return with_aux(loss, {"loss": loss, "accuracy": acc})
         if self.task == "regression":
             pred = out["regression"]["mean"].astype(jnp.float32)
             target = batch.y.astype(jnp.float32).reshape(pred.shape)
             per = jnp.mean((pred - target) ** 2, axis=-1)
             loss = jnp.sum(per * valid) / denom
-            return loss, {"loss": loss, "mse": loss}
+            return with_aux(loss, {"loss": loss, "mse": loss})
         if self.task == "survival":
             # batch.y carries (time, event) pairs: [B, 2]
             # (reference SurvivalHead surface, models/decoders.py:323-496)
@@ -264,7 +277,7 @@ class DGDMTrainer:
                 loss = discrete_survival_loss(surv["hazard_logits"],
                                               time_.astype(jnp.int32), event,
                                               valid=valid)
-            return loss, {"loss": loss, "survival_loss": loss}
+            return with_aux(loss, {"loss": loss, "survival_loss": loss})
         raise ValueError(f"finetune requires a task; got {self.task!r}")
 
     def _pad_to_devices(self, batch: PaddedGraph) -> PaddedGraph:
@@ -561,7 +574,10 @@ class DGDMTrainer:
             attention_traffic_dtype=getattr(m, "attention_traffic_dtype",
                                             None),
             spatial_window=getattr(m, "spatial_window", None),
-            graph_window=getattr(m, "graph_window", None))
+            graph_window=getattr(m, "graph_window", None),
+            moe_experts=getattr(m, "moe_experts", 0),
+            moe_top_k=getattr(m, "moe_top_k", 1),
+            moe_capacity=getattr(m, "moe_capacity", 1.5))
         hw = cfg.hardware
         if mesh is None and getattr(hw, "mesh_shape", None):
             # config-driven mesh: e.g. mesh_shape [2, 4] + mesh_axes

@@ -72,6 +72,11 @@ class ModelConfig:
     # banded (Morton-window) message passing in the GraphEncoder (None =
     # dense parity); exact when graphs are built with data.knn_window
     graph_window: Optional[int] = None
+    # Mixture-of-Experts residual FFN after the message-passing stack
+    # (0 = off); expert params shard over an 'expert' mesh axis
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity: float = 1.5
 
 
 @dataclass
