@@ -606,6 +606,24 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ab_graph_window_base_b32", "rows": rows}))
         return
+    if "--ab-moe" in sys.argv:
+        # whole-step cost of the MoE tier at Base batch 32: the question is
+        # OVERHEAD (a width/capacity lever, params scale with E at constant
+        # per-token FLOPs), not speedup. Paired in one process per add.7.
+        rows = []
+        for tag, ov in (("dense", {}),
+                        ("moe4_top1", {"moe_experts": 4}),
+                        ("moe8_top2", {"moe_experts": 8, "moe_top_k": 2})):
+            r = bench_config(f"moe_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, **ov)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "params": r.get("params")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ab_moe_base_b32", "rows": rows}))
+        return
     if "--ab-base-128" in sys.argv:
         # window-size sweep of the COMBINED config at Base: W=64 measured
         # 1.23x (add.10) but its [nb,W,3W] band matmuls put only 64 rows on

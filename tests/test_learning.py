@@ -99,6 +99,36 @@ class TestLearning:
         assert acc >= 0.9, f"windowed val accuracy {acc}"
         assert metrics["auc"] >= 0.95, f"windowed val AUC {metrics['auc']}"
 
+    def test_supervised_task_is_learned_moe(self):
+        """Accuracy gate for the MoE tier: a moe_experts=4 model (top-1
+        Switch routing, aux loss on) must learn the same synthetic
+        slide-level signal the dense model does."""
+        model = DGDMModel(node_features=16, hidden_dims=(32, 16),
+                          num_diffusion_steps=3, attention_heads=4,
+                          graph_layers=2, num_classes=2,
+                          use_hierarchical=False, compute_dtype="float32",
+                          dropout=0.0, moe_experts=4)
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=3e-3, warmup_steps=5, pretrain_epochs=0,
+            steps_per_epoch=8, scheduler_type="none"), use_mesh=False)
+
+        train_batches = [batch_graphs([make_labeled_graph(s) for s in
+                                       range(i * 8, i * 8 + 8)])
+                         for i in range(4)]
+        val_batch = batch_graphs([make_labeled_graph(s)
+                                  for s in range(100, 116)])
+        trainer.init_state(jax.random.PRNGKey(0), train_batches[0])
+        for epoch in range(15):
+            for b in train_batches:
+                trainer.training_step(b, epoch=1)
+        out = trainer.validation_step(val_batch, epoch=1)
+        acc = float(out["accuracy"])
+        probs = np.asarray(out["probabilities"])
+        metrics = compute_classification_metrics(
+            np.asarray(val_batch.y), probs)
+        assert acc >= 0.9, f"moe val accuracy {acc}"
+        assert metrics["auc"] >= 0.95, f"moe val AUC {metrics['auc']}"
+
     def test_survival_task_is_learned(self):
         """Synthetic hazard: risk increases with the mean of the first 4
         feature dims → shorter survival time. Cox training must rank-order

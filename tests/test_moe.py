@@ -102,6 +102,24 @@ class TestMoEFFN:
         out1, _ = moe1.apply(params, x, mask)
         assert not np.allclose(np.asarray(out2), np.asarray(out1))
 
+    def test_grouping_invariant_with_ample_capacity(self):
+        """Routing is per-token and capacity per group — with capacity
+        ample the group partition must not change the output (GShard
+        grouping is a memory layout, not a semantic change)."""
+        x, mask = init_inputs(b=4)  # t = 96 tokens
+        moe_one = make_moe(group_size=96, capacity_factor=float(E))
+        params = moe_one.init(jax.random.PRNGKey(0), x, mask)
+        out1, aux1 = moe_one.apply(params, x, mask)
+        moe_grp = make_moe(group_size=24, capacity_factor=float(E))
+        out4, aux4 = moe_grp.apply(params, x, mask)
+        np.testing.assert_allclose(np.asarray(out4), np.asarray(out1),
+                                   rtol=1e-5, atol=1e-5)
+        assert float(aux4) == pytest.approx(float(aux1), rel=0.2)
+        # non-dividing group size falls back to the token-axis length
+        moe_odd = make_moe(group_size=13, capacity_factor=float(E))
+        out_odd, _ = moe_odd.apply(params, x, mask)
+        assert np.isfinite(np.asarray(out_odd)).all()
+
     def test_aux_loss_near_one_when_balanced(self):
         """Random init routes ~uniformly ⇒ Switch aux ≈ 1 (within slack)."""
         moe = make_moe()
