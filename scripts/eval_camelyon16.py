@@ -162,6 +162,11 @@ def main(argv=None):
                          "(models/quantized.py) and report the AUC delta — "
                          "the end-task accuracy gate for the quantized "
                          "serving path")
+    ap.add_argument("--moe-experts", type=int, default=0,
+                    help="ALSO train an MoE variant (DGDMModel(moe_experts="
+                         "N)) next to the dense run and report both AUCs — "
+                         "the end-task accuracy gate for the expert-FFN "
+                         "tier (nn/moe.py)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (the axon sitecustomize pins the TPU "
@@ -346,6 +351,9 @@ def main(argv=None):
         variants.append((f"window{args.window}",
                          {"spatial_window": args.window,
                           "graph_window": args.window}, args.window))
+    if args.moe_experts:
+        variants.append((f"moe{args.moe_experts}",
+                         {"moe_experts": args.moe_experts}, None))
     results = {tag: run_variant(tag, kw, knnw) for tag, kw, knnw in variants}
     primary_tag = variants[0][0]
     metrics = results[primary_tag]
@@ -381,10 +389,12 @@ def main(argv=None):
             t: {k: r.get(k) for k in ("auc", "f1", "accuracy",
                                       "best_val_loss")}
             for t, r in results.items()}
-        wtag = variants[-1][0]
-        if results[wtag].get("auc") is not None and metrics.get("auc"):
-            report["window_auc_delta_vs_dense"] = round(
-                results[wtag]["auc"] - metrics["auc"], 4)
+        for vtag, _, _ in variants[1:]:
+            if results[vtag].get("auc") is not None and metrics.get("auc"):
+                key = ("window_auc_delta_vs_dense"
+                       if vtag.startswith("window")
+                       else f"{vtag}_auc_delta_vs_dense")
+                report[key] = round(results[vtag]["auc"] - metrics["auc"], 4)
     out_path = args.out / "report.json"
     out_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
