@@ -83,6 +83,9 @@ class TestConfig:
         assert xl.data.node_buckets[-1] == 8192
         assert xl.model.spatial_window == 128 and xl.model.graph_window == 128
         assert xl.data.spatial_sort is True and xl.data.knn_window == 128
+        # the MoE preset wires the expert-FFN tier (ADR-0004 add.14)
+        m = load_config(cfg_dir / "dgdm_base_moe.yaml", apply_env=False)
+        assert m.model.moe_experts == 4 and m.model.moe_top_k == 1
 
     def test_config_transaction_rollback(self, tmp_path):
         p = tmp_path / "c.yaml"
