@@ -148,7 +148,8 @@ class DGDMModel(nn.Module):
                 hidden_dim=self.moe_hidden or 2 * hidden,
                 num_experts=self.moe_experts, top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity,
-                activation=self.activation, dtype=dtype, param_dtype=pdtype)
+                activation=self.activation, dropout=self.dropout,
+                dtype=dtype, param_dtype=pdtype)
         if self.use_spatial_attention:
             self.spatial_attention = SpatialAttention(
                 embed_dim=hidden, num_heads=self.attention_heads,

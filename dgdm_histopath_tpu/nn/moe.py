@@ -57,6 +57,7 @@ class MoEFFN(nn.Module):
     # it doesn't divide the flat token count (N always does).
     group_size: int = 1024
     activation: str = "gelu"
+    dropout: float = 0.0          # expert-hidden dropout ('dropout' rng)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -139,6 +140,8 @@ class MoEFFN(nn.Module):
                          xg.astype(self.dtype))              # [E, g, C, F]
         h = jnp.einsum("egcf,efh->egch", ein, w_in.astype(self.dtype))
         h = act(h + b_in[:, None, None, :].astype(self.dtype))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         eout = jnp.einsum("egch,ehf->egcf", h, w_out.astype(self.dtype))
         eout = eout + b_out[:, None, None, :].astype(self.dtype)
         out = jnp.einsum("egcf,gsec->gsf", eout,

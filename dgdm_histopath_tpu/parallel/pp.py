@@ -217,6 +217,10 @@ def pp_graph_encoder_apply(
     ``data_axis``), only the L-layer message-passing stack is staged.
     ``stacked_params`` may be passed directly (training keeps the stacked
     layout as the canonical one); otherwise it is derived from ``params``.
+
+    Convenience entry point: it builds (and retraces) the pipelined fn per
+    call. Hot loops should call :func:`make_pp_layers_fn` once and reuse the
+    returned jitted function.
     """
     from ..models.encoders import get_activation
 
