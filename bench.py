@@ -501,6 +501,23 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ablation_large_b4", "rows": rows}))
         return
+    if "--ablate-base" in sys.argv:
+        # component split of the BASE step (1024-node bucket, batch 32):
+        # locates where the ~66 ms goes (spatial attention vs U-Net vs
+        # encoder) to aim round-4 work; paired in one process per add.7
+        rows = []
+        for tag, sp, hi in (("full", True, True), ("no_spatial", False, True),
+                            ("no_unet", True, False),
+                            ("encoder_only", False, False)):
+            r = bench_config(f"ablate_base_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128), num_steps=10,
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, use_spatial=sp, use_hier=hi)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"]})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ablation_base_b32", "rows": rows}))
+        return
     if "--ab-attn-traffic" in sys.argv:
         # whole-program A/B of spatial attention's HBM-buffer dtype: f32
         # (strict) vs bf16 (halves the bandwidth-bound [B,H,N,N] traffic).

@@ -213,6 +213,34 @@ class TestDeployment:
         assert result["probabilities"].shape == (2, 2)
         assert engine.mean_latency_s > 0
 
+    def test_edge_bundle_roundtrip_moe(self, tmp_path):
+        """Cross-feature: an MoE model (grouped expert dispatch, nn/moe.py)
+        packages, loads, and predicts through the edge path — the expert
+        einsums are plain XLA ops, so quantize/cast must round-trip them."""
+        model = DGDMModel(node_features=8, hidden_dims=(16, 8),
+                          num_diffusion_steps=2, attention_heads=4,
+                          graph_layers=1, num_classes=2,
+                          use_hierarchical=False, use_spatial_attention=False,
+                          compute_dtype="float32", moe_experts=2)
+        g = batch_graphs([make_synthetic_graph(seed=i, n_nodes=16, n_real=12,
+                                               feat_dim=8) for i in range(2)])
+        rngs = {"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1),
+                "masking": jax.random.PRNGKey(2)}
+        params = model.init(rngs, g, mode="pretrain", deterministic=True)
+        cfg = dict(node_features=8, hidden_dims=(16, 8),
+                   num_diffusion_steps=2, attention_heads=4, graph_layers=1,
+                   num_classes=2, use_hierarchical=False,
+                   use_spatial_attention=False, compute_dtype="float32",
+                   moe_experts=2)
+        mgr = EdgeDeploymentManager(tmp_path)
+        bundle = mgr.package(model, params, cfg,
+                             EdgeConfig(quantization="bfloat16"))
+        engine = EdgeDeploymentManager.load(bundle)
+        result = engine.predict(g)
+        assert result["probabilities"].shape == (2, 2)
+        assert np.isfinite(result["probabilities"]).all()
+
     def test_k8s_manifests(self, tmp_path):
         orch = KubernetesOrchestrator(K8sConfig(replicas=3))
         files = orch.write_manifests(tmp_path)
