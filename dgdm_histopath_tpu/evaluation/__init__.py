@@ -6,13 +6,14 @@ from .metrics import (
     compute_classification_metrics, compute_regression_metrics,
     compute_segmentation_metrics, compute_graph_statistics,
     compute_clinical_metrics, concordance_index, dice_score, iou_score,
-    bootstrap_ci,
+    bootstrap_ci, quadratic_weighted_kappa, expected_grade_decode,
 )
 
 __all__ = [
     "DGDMPredictor", "load_model_checkpoint", "AttentionVisualizer",
     "compute_classification_metrics", "compute_regression_metrics",
     "compute_segmentation_metrics", "compute_graph_statistics",
+    "quadratic_weighted_kappa", "expected_grade_decode",
     "compute_clinical_metrics", "concordance_index", "dice_score", "iou_score",
     "bootstrap_ci",
 ]

@@ -108,6 +108,47 @@ def compute_classification_metrics(
     return out
 
 
+def quadratic_weighted_kappa(labels: np.ndarray, preds: np.ndarray,
+                             n_classes: int = None) -> float:
+    """Cohen's kappa with quadratic weights — the standard ordinal-grading
+    agreement metric (PANDA ISUP grading; the reference publishes only AUC
+    for PANDA, ``/root/reference/README.md:270``, so this is beyond-parity
+    coverage of the dataset's canonical metric).
+
+    ``kappa = 1 - Σ W·O / Σ W·E`` with ``W[i,j] = (i-j)² / (n-1)²``,
+    observed matrix O and outer-product expected matrix E.
+    """
+    labels = np.asarray(labels).astype(int)
+    preds = np.asarray(preds).astype(int)
+    if n_classes is None:
+        n_classes = int(max(labels.max(), preds.max())) + 1 if len(labels) else 2
+    if n_classes < 2 or len(labels) == 0:
+        return float("nan")
+    obs = np.zeros((n_classes, n_classes), np.float64)
+    for t, p in zip(labels, preds):
+        obs[t, p] += 1.0
+    hist_t = obs.sum(axis=1)
+    hist_p = obs.sum(axis=0)
+    expected = np.outer(hist_t, hist_p) / max(len(labels), 1)
+    ii, jj = np.meshgrid(np.arange(n_classes), np.arange(n_classes),
+                         indexing="ij")
+    w = (ii - jj) ** 2 / float((n_classes - 1) ** 2)
+    denom = float((w * expected).sum())
+    if denom == 0.0:
+        return float("nan")
+    return float(1.0 - (w * obs).sum() / denom)
+
+
+def expected_grade_decode(probabilities: np.ndarray) -> np.ndarray:
+    """Ordinal decode: round the probability-weighted expected grade —
+    the standard PANDA decode (penalizes far misses less than argmax
+    under quadratic-weighted kappa)."""
+    probs = np.asarray(probabilities, np.float64)
+    grades = np.arange(probs.shape[-1], dtype=np.float64)
+    exp = (probs * grades).sum(axis=-1)
+    return np.clip(np.rint(exp), 0, probs.shape[-1] - 1).astype(int)
+
+
 # ---------------------------------------------------------------------------
 # regression
 # ---------------------------------------------------------------------------

@@ -49,6 +49,24 @@ class TestMetrics:
         assert 0.0 <= m["auc"] <= 1.0
         assert np.asarray(m["confusion_matrix"]).shape == (3, 3)
 
+    def test_quadratic_weighted_kappa(self):
+        from sklearn.metrics import cohen_kappa_score
+        from dgdm_histopath_tpu.evaluation.metrics import (
+            expected_grade_decode, quadratic_weighted_kappa)
+        rs = np.random.RandomState(2)
+        labels = rs.randint(0, 6, 300)
+        preds = np.clip(labels + rs.randint(-1, 2, 300), 0, 5)
+        ours = quadratic_weighted_kappa(labels, preds, n_classes=6)
+        ref = cohen_kappa_score(labels, preds, weights="quadratic")
+        assert ours == pytest.approx(ref, abs=1e-9)
+        # perfect agreement = 1; constant predictor = degenerate
+        assert quadratic_weighted_kappa(labels, labels, 6) == pytest.approx(1.0)
+        # expected-grade decode rounds the probability-weighted grade
+        probs = np.array([[0.0, 0.5, 0.5, 0.0],     # E=1.5 -> 2 (banker's)
+                          [0.9, 0.1, 0.0, 0.0],     # E=0.1 -> 0
+                          [0.0, 0.0, 0.1, 0.9]])    # E=2.9 -> 3
+        np.testing.assert_array_equal(expected_grade_decode(probs), [2, 0, 3])
+
     def test_regression_golden(self):
         t = np.array([1.0, 2.0, 3.0])
         p = np.array([1.0, 2.0, 3.0])
