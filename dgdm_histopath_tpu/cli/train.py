@@ -220,10 +220,20 @@ def _execute_training(cfg: DGDMConfig, args, resume_dir=None) -> int:
     ckpt_dir = Path(resume_dir) if resume_dir else out_dir / "checkpoints"
     mgr = CheckpointManager(ckpt_dir, save_top_k=cfg.logging.save_top_k,
                             monitor=cfg.logging.monitor_metric)
+    start_step_in_epoch = 0
     if resume_dir and mgr.last_step is not None:
         trainer.state = trainer.place_state(mgr.restore(trainer.state))
-        trainer.current_epoch = mgr.last_step + 1
-        logger.info("resumed from epoch %d", trainer.current_epoch)
+        resume_meta = mgr.record_extra(mgr.last_step).get("resume")
+        if resume_meta and resume_meta.get("mid_epoch"):
+            # preemption checkpoint: re-enter the SAME epoch, skipping the
+            # steps already taken (bit-identical replay — preemption.py)
+            trainer.current_epoch = int(resume_meta["epoch"])
+            start_step_in_epoch = int(resume_meta["step_in_epoch"])
+            logger.info("resumed mid-epoch: epoch %d step %d",
+                        trainer.current_epoch, start_step_in_epoch)
+        else:
+            trainer.current_epoch = mgr.last_step + 1
+            logger.info("resumed from epoch %d", trainer.current_epoch)
 
     # experiment logger: TB/W&B by config flag, CSV/JSONL always
     # (reference cli/train.py:332-343)
@@ -233,14 +243,25 @@ def _execute_training(cfg: DGDMConfig, args, resume_dir=None) -> int:
                                if getattr(cfg.experiment, "name", None) else None)
     train_logger.log_hparams(config_to_dict(cfg))
 
+    # graceful preemption: SIGTERM flips a flag; fit() checkpoints the exact
+    # (epoch, step) position and exits cleanly instead of dying mid-step
+    from ..training import PreemptionGuard
+    guard = PreemptionGuard(install=True)
     try:
         result = trainer.fit(
             dm.train_dataloader(), dm.val_dataloader(),
             max_epochs=cfg.training.max_epochs, checkpoint_manager=mgr,
             early_stopping_patience=args.early_stopping_patience,
-            train_logger=train_logger)
+            train_logger=train_logger, preemption_guard=guard,
+            start_step_in_epoch=start_step_in_epoch)
     finally:
+        guard.uninstall()
         train_logger.close()
+    if result.get("interrupted"):
+        logger.warning("training preempted at %s; resume with "
+                       "`dgdm-train resume --checkpoint-dir %s`",
+                       result.get("resume"), ckpt_dir)
+        return 75  # EX_TEMPFAIL: scheduler should reschedule
 
     # test pass
     test_metrics = []

@@ -7,6 +7,7 @@ from .losses import (
 )
 from .checkpoint import CheckpointManager, save_model_bundle, load_model_bundle
 from .experiment_logging import TrainLogger, make_logger
+from .preemption import PreemptionGuard, skip_batches
 
 __all__ = [
     "DGDMTrainer", "TrainerConfig", "TrainState", "make_optimizer", "make_lr_schedule",
@@ -14,4 +15,5 @@ __all__ = [
     "graph_reconstruction_loss", "multi_task_loss",
     "CheckpointManager", "save_model_bundle", "load_model_bundle",
     "TrainLogger", "make_logger",
+    "PreemptionGuard", "skip_batches",
 ]

@@ -50,7 +50,8 @@ class CheckpointManager:
     def _step_dir(self, step: int) -> Path:
         return self.directory / f"step_{step:08d}"
 
-    def save(self, state: Any, step: int, metric: Optional[float] = None) -> Path:
+    def save(self, state: Any, step: int, metric: Optional[float] = None,
+             extra: Optional[Dict[str, Any]] = None) -> Path:
         path = self._step_dir(step)
         # fully materialize on host before save (device->host copy is the
         # cheap part; serialization runs in Orbax's background thread)
@@ -61,6 +62,8 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
         self._ckpt.save(path, state, force=True)
         rec = {"step": step, "metric": metric}
+        if extra:
+            rec["extra"] = extra
         self._index["records"] = [r for r in self._index["records"] if r["step"] != step]
         self._index["records"].append(rec)
         self._index["last_step"] = step
@@ -118,6 +121,17 @@ class CheckpointManager:
 
     def all_steps(self):
         return sorted(r["step"] for r in self._index["records"])
+
+    def record_extra(self, step: Optional[int] = None) -> Dict[str, Any]:
+        """Sidecar metadata stored with ``save(extra=...)`` (e.g. the
+        mid-epoch resume position written on preemption); defaults to the
+        last saved step."""
+        if step is None:
+            step = self._index["last_step"]
+        for r in self._index["records"]:
+            if r["step"] == step:
+                return dict(r.get("extra") or {})
+        return {}
 
 
 _KEY_PREFIX = "p:"  # npz key namespace for named parameter paths

@@ -446,28 +446,48 @@ class DGDMTrainer:
         log_every: int = 50,
         early_stopping_patience: int = 10,
         train_logger=None,
+        preemption_guard=None,
+        start_step_in_epoch: int = 0,
     ) -> Dict[str, Any]:
         """Epoch loop with two-phase curriculum, validation, checkpointing,
         early stopping (reference cli/train.py:304-330 callbacks).
 
         ``train_logger``: optional ``TrainLogger`` — receives every epoch
         summary (reference logs scalars to TB/W&B, trainer.py:116-127).
+
+        ``preemption_guard``: optional :class:`PreemptionGuard` — when it
+        trips (SIGTERM / manual trigger), the loop stops at the next step
+        boundary, writes an emergency checkpoint tagged with the exact
+        (epoch, step-in-epoch) position, and returns
+        ``{"interrupted": True, "resume": {...}}``. ``start_step_in_epoch``
+        fast-forwards that many batches of the FIRST epoch on resume; with
+        a deterministic loader the replay is bit-identical (step rngs fold
+        ``state.step``).
         """
         max_epochs = max_epochs or self.config.max_epochs
         best_val = float("inf")
         patience = 0
+        first_epoch = self.current_epoch
+        interrupted = False
+        resume_info: Dict[str, Any] = {}
         for epoch in range(self.current_epoch, max_epochs):
             self.current_epoch = epoch
             phase = self.phase_for_epoch(epoch)
             totals: Dict[str, Any] = {}
             t0 = time.perf_counter()
             n_steps = 0
+            skip = start_step_in_epoch if epoch == first_epoch else 0
+            epoch_loader = train_loader
+            if skip:
+                from .preemption import skip_batches
+                epoch_loader = skip_batches(train_loader, skip)
+                n_steps = skip  # position within the epoch, not work done here
             with monitor_operation(f"train_epoch_{phase}"):
                 # double-buffered feed: pad/shard/upload the next batch on a
                 # background thread while the device runs the current step
                 from ..utils.optimization import PrefetchIterator
                 prepared_iter = PrefetchIterator(
-                    (self._prepare_batch(b) for b in train_loader), depth=2)
+                    (self._prepare_batch(b) for b in epoch_loader), depth=2)
                 for batch in prepared_iter:
                     # device-resident accumulation: no per-step host sync
                     m = self.training_step(batch, epoch, materialize=False,
@@ -479,7 +499,20 @@ class DGDMTrainer:
                         logger.info("epoch %d [%s] step %d loss=%.4f",
                                     epoch, phase, n_steps,
                                     float(m.get("loss", float("nan"))))
-            summary = {f"train_{k}": float(v) / max(n_steps, 1)
+                    if preemption_guard is not None and preemption_guard.triggered:
+                        interrupted = True
+                        prepared_iter.close()
+                        break
+            if interrupted:
+                resume_info = {"epoch": epoch, "step_in_epoch": n_steps,
+                               "mid_epoch": True}
+                logger.warning("preemption: stopping at epoch %d step %d",
+                               epoch, n_steps)
+                if checkpoint_manager is not None:
+                    checkpoint_manager.save(self.state, step=epoch,
+                                            extra={"resume": resume_info})
+                break
+            summary = {f"train_{k}": float(v) / max(n_steps - skip, 1)
                        for k, v in totals.items()}
             summary["epoch"] = epoch
             summary["phase"] = phase
@@ -536,7 +569,12 @@ class DGDMTrainer:
             # saves are async (checkpoint.py): drain the last one before
             # returning so the final checkpoint is durable at fit() exit
             checkpoint_manager.wait_until_finished()
-        return {"history": self.history, "best_val_loss": best_val}
+        result: Dict[str, Any] = {"history": self.history,
+                                  "best_val_loss": best_val,
+                                  "interrupted": interrupted}
+        if interrupted:
+            result["resume"] = resume_info
+        return result
 
     def predict_step(self, batch: PaddedGraph, return_attention: bool = True) -> Dict[str, Any]:
         out = self.model.apply(self.state.params, batch, mode="inference",

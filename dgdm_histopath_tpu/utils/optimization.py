@@ -186,10 +186,13 @@ class PrefetchIterator(Iterator):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._error: List[BaseException] = []
+        self._stopped = False
 
         def producer():
             try:
                 for item in iterable:
+                    if self._stopped:
+                        break
                     self._q.put(item)
             except BaseException as exc:  # noqa: BLE001
                 self._error.append(exc)
@@ -210,6 +213,23 @@ class PrefetchIterator(Iterator):
                 raise self._error[0]
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Stop the producer without exhausting the stream (used when the
+        consumer breaks out early, e.g. on preemption): set the stop flag,
+        then drain until the producer's sentinel unblocks its final put."""
+        import queue
+        if self._stopped:
+            return
+        self._stopped = True
+        while self._thread.is_alive():
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is self._sentinel:
+                break
+        self._thread.join(timeout=5.0)
 
 
 class CompressedDataCache:

@@ -351,3 +351,76 @@ class TestAsyncCheckpoint:
             for a, b in zip(jax.tree_util.tree_leaves(snapshot),
                             jax.tree_util.tree_leaves(restored.params)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+class TestPreemption:
+    """Graceful preemption: SIGTERM -> flag -> emergency checkpoint at a step
+    boundary -> bit-identical mid-epoch resume (training/preemption.py).
+    The reference has no preemption handling at all (its cli/train.py
+    registers no signal handlers; an interrupted fit loses the epoch)."""
+
+    def _make(self):
+        model = tiny_model(num_classes=2)
+        return DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, max_epochs=2,
+            pretrain_epochs=0, steps_per_epoch=4), use_mesh=False)
+
+    def _batches(self, n=4):
+        return [tiny_batch(2, num_classes=2, seed0=i * 7) for i in range(n)]
+
+    def test_sigterm_sets_flag_without_exiting(self):
+        import os, signal as _signal
+        from dgdm_histopath_tpu.training import PreemptionGuard
+        with PreemptionGuard() as guard:
+            assert not guard.triggered
+            os.kill(os.getpid(), _signal.SIGTERM)
+            assert guard.triggered
+        # handler restored after the context exits
+        assert _signal.getsignal(_signal.SIGTERM) not in (guard._handler,)
+
+    @pytest.mark.slow
+    def test_midepoch_resume_is_bit_identical(self, tmp_path):
+        from dgdm_histopath_tpu.training import PreemptionGuard
+        batches = self._batches(4)
+
+        # uninterrupted reference run: 2 epochs x 4 steps
+        t_ref = self._make()
+        t_ref.init_state(jax.random.PRNGKey(0), batches[0])
+        t_ref.fit(batches, max_epochs=2)
+
+        # interrupted run: trip the guard before the loop; it stops after
+        # exactly one step and writes an emergency checkpoint
+        t_int = self._make()
+        t_int.init_state(jax.random.PRNGKey(0), batches[0])
+        mgr = CheckpointManager(tmp_path / "ckpt", save_top_k=2)
+        guard = PreemptionGuard(install=False)
+        guard.trigger()
+        result = t_int.fit(batches, max_epochs=2, checkpoint_manager=mgr,
+                           preemption_guard=guard)
+        assert result["interrupted"] is True
+        info = result["resume"]
+        assert info["mid_epoch"] and info["epoch"] == 0
+        assert 1 <= info["step_in_epoch"] <= len(batches)
+        mgr.wait_until_finished()
+        assert mgr.record_extra()["resume"] == info
+
+        # resume: restore state, re-enter the SAME epoch, skip done steps
+        t_res = self._make()
+        t_res.init_state(jax.random.PRNGKey(0), batches[0])
+        t_res.state = t_res.place_state(mgr.restore(t_res.state))
+        t_res.current_epoch = info["epoch"]
+        res2 = t_res.fit(batches, max_epochs=2,
+                         start_step_in_epoch=info["step_in_epoch"])
+        assert res2["interrupted"] is False
+        assert int(t_res.state.step) == int(t_ref.state.step)
+        for a, b in zip(jax.tree_util.tree_leaves(t_ref.state.params),
+                        jax.tree_util.tree_leaves(t_res.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_prefetch_close_unblocks_producer(self):
+        import itertools, threading
+        from dgdm_histopath_tpu.utils.optimization import PrefetchIterator
+        it = PrefetchIterator(itertools.count(), depth=2)  # infinite stream
+        assert next(it) == 0
+        it.close()
+        it._thread.join(timeout=5.0)
+        assert not it._thread.is_alive()
