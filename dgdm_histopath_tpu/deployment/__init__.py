@@ -9,6 +9,7 @@ from .production import (
     ProductionHealthChecker, DeploymentStage,
 )
 from .serving import InferenceServer, graph_from_json
+from .batching import DynamicBatcher
 
 __all__ = [
     "EdgeConfig", "EdgeModelOptimizer", "EdgeInferenceEngine",
@@ -16,4 +17,5 @@ __all__ = [
     "quantize_params_int8", "dequantize_params", "cast_params",
     "K8sConfig", "KubernetesOrchestrator", "AutoScaler",
     "ProductionOrchestrator", "ProductionHealthChecker", "DeploymentStage",
+    "InferenceServer", "graph_from_json", "DynamicBatcher",
 ]

@@ -18,9 +18,13 @@ Endpoints:
                                stacked into single device calls
                                (DGDMPredictor.predict_batch)
 
-Single-threaded stdlib HTTP by design: JAX devices are single-tenant, so a
-serializing server in front of the chip is the correct concurrency model;
-scale-out happens at the replica level (see KubernetesOrchestrator).
+Concurrency model: JAX devices are single-tenant, so by default a
+serializing (single-threaded) server in front of the chip is correct, and
+scale-out happens at the replica level (see KubernetesOrchestrator). With
+``dynamic_batch > 0`` the server instead runs threaded IO + ONE device
+thread: concurrent ``/predict`` requests coalesce into single
+``predict_batch`` device calls (deployment/batching.py), amortizing
+dispatch overhead under load at a bounded queueing cost.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ from __future__ import annotations
 import json
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -60,14 +64,31 @@ class InferenceServer:
 
     def __init__(self, predictor, port: int = 8080,
                  rate_limit_per_s: float = 50.0,
-                 data_root: Optional[str] = None):
+                 data_root: Optional[str] = None,
+                 dynamic_batch: int = 0, batch_wait_ms: float = 5.0):
         self.predictor = predictor
         self.port = port
         self.health = ProductionHealthChecker(predictor)
         self.rate_limiter = RateLimiter(rate=rate_limit_per_s,
                                         burst=int(rate_limit_per_s * 2))
         self.stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
+        self._stats_lock = threading.Lock()
         self._httpd: Optional[HTTPServer] = None
+        # dynamic batching (deployment/batching.py): concurrent /predict
+        # requests coalesce into single predict_batch device calls; the
+        # device stays single-tenant behind _device_lock either way
+        self._device_lock = threading.Lock()
+        self.batcher = None
+        if dynamic_batch > 0:
+            from .batching import DynamicBatcher
+
+            def _predict_many(graphs):
+                with self._device_lock:
+                    return self.predictor.predict_batch(graphs)
+
+            self.batcher = DynamicBatcher(_predict_many,
+                                          max_batch=dynamic_batch,
+                                          max_wait_ms=batch_wait_ms)
         # path-based loading is opt-in: without a configured data_root, a
         # client-supplied graph_path would let any caller make the server
         # read arbitrary host files (ADVICE r2)
@@ -96,12 +117,17 @@ class InferenceServer:
             graph = graph_from_json(payload["graph"])
         else:
             raise ValueError("payload must contain 'graph' or 'graph_path'")
-        result = self.predictor.predict_graph(graph)
+        if self.batcher is not None:
+            result = self.batcher(graph)
+        else:
+            with self._device_lock:
+                result = self.predictor.predict_graph(graph)
         out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                for k, v in result.items()}
         out["latency_s"] = round(time.perf_counter() - t0, 4)
-        self.stats["requests"] += 1
-        self.stats["total_latency_s"] += out["latency_s"]
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["total_latency_s"] += out["latency_s"]
         return out
 
     def handle_predict_batch(self, payload: Dict[str, Any]) -> Dict[str, Any]:
@@ -114,13 +140,15 @@ class InferenceServer:
             graphs = [graph_from_json(g) for g in payload["graphs"]]
         else:
             raise ValueError("payload must contain 'graphs' or 'graph_paths'")
-        results = self.predictor.predict_batch(graphs)
+        with self._device_lock:
+            results = self.predictor.predict_batch(graphs)
         out_results = [
             {k: (v.tolist() if isinstance(v, np.ndarray) else v)
              for k, v in r.items()} for r in results]
         latency = round(time.perf_counter() - t0, 4)
-        self.stats["requests"] += 1
-        self.stats["total_latency_s"] += latency
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["total_latency_s"] += latency
         return {"results": out_results, "count": len(out_results),
                 "latency_s": latency}
 
@@ -142,6 +170,19 @@ class InferenceServer:
             "# TYPE dgdm_request_latency_seconds_mean gauge",
             f"dgdm_request_latency_seconds_mean {mean_lat:.6f}",
         ]
+        if self.batcher is not None:
+            b = self.batcher.stats
+            lines += [
+                "# HELP dgdm_batches_total Dynamic batches executed.",
+                "# TYPE dgdm_batches_total counter",
+                f"dgdm_batches_total {int(b['batches'])}",
+                "# HELP dgdm_batch_size_mean Mean dynamic batch size.",
+                "# TYPE dgdm_batch_size_mean gauge",
+                f"dgdm_batch_size_mean {self.batcher.mean_batch_size:.3f}",
+                "# HELP dgdm_batch_size_max Largest dynamic batch seen.",
+                "# TYPE dgdm_batch_size_max gauge",
+                f"dgdm_batch_size_max {int(b['max_batch_seen'])}",
+            ]
         return "\n".join(lines) + "\n"
 
     # ------------------------------------------------------------------
@@ -201,8 +242,12 @@ class InferenceServer:
         return Handler
 
     def start(self, background: bool = False):
-        self._httpd = HTTPServer(("", self.port), self._make_handler())
-        logger.info("inference server on :%d", self.port)
+        # with dynamic batching, IO must be concurrent for requests to
+        # coalesce; without it, a serializing server IS the device queue
+        cls = ThreadingHTTPServer if self.batcher is not None else HTTPServer
+        self._httpd = cls(("", self.port), self._make_handler())
+        logger.info("inference server on :%d (dynamic_batch=%s)", self.port,
+                    self.batcher.max_batch if self.batcher else "off")
         if background:
             t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
             t.start()
@@ -214,3 +259,5 @@ class InferenceServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        if self.batcher is not None:
+            self.batcher.close()

@@ -368,3 +368,110 @@ class TestServingPathConfinement:
         save_graph(single, tmp_path / "ok.npz")
         out = server.handle_predict({"graph_path": "ok.npz"})
         assert "probabilities" in out
+
+class TestDynamicBatching:
+    """Dynamic request batching (deployment/batching.py): concurrent
+    /predict requests coalesce into single predict_batch device calls."""
+
+    def test_batcher_coalesces_and_preserves_order(self):
+        import threading
+        from dgdm_histopath_tpu.deployment import DynamicBatcher
+        calls = []
+        gate = threading.Event()
+
+        def batch_fn(items):
+            gate.wait(5.0)  # hold the first batch so followers pile up
+            calls.append(list(items))
+            return [i * 10 for i in items]
+
+        b = DynamicBatcher(batch_fn, max_batch=8, max_wait_ms=30)
+        futs = [b.submit(i) for i in range(6)]
+        gate.set()
+        results = [f.result(timeout=10) for f in futs]
+        assert results == [i * 10 for i in range(6)]
+        b.close()
+        # the tail coalesced: fewer batches than items, order preserved
+        assert 1 <= len(calls) <= 6
+        assert [x for c in calls for x in c] == list(range(6))
+        assert b.stats["items"] == 6
+        assert b.stats["max_batch_seen"] >= 2
+
+    def test_batcher_propagates_errors_to_all_waiters(self):
+        from dgdm_histopath_tpu.deployment import DynamicBatcher
+
+        def bad(items):
+            raise RuntimeError("boom")
+
+        b = DynamicBatcher(bad, max_batch=4, max_wait_ms=5)
+        fut = b.submit(1)
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10)
+        b.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            b.submit(2)
+
+    def test_batcher_length_mismatch_fails_loudly(self):
+        from dgdm_histopath_tpu.deployment import DynamicBatcher
+        b = DynamicBatcher(lambda items: [0], max_batch=4, max_wait_ms=30)
+        f1, f2 = b.submit("a"), b.submit("b")
+        errs = 0
+        for f in (f1, f2):
+            try:
+                f.result(timeout=10)
+            except RuntimeError:
+                errs += 1
+        # at least the coalesced waiters see the mismatch error
+        assert errs >= 1
+        b.close()
+
+    def test_http_concurrent_predicts_coalesce(self):
+        import http.client
+        import json as _json
+        import threading
+        from dgdm_histopath_tpu.deployment import InferenceServer
+        from dgdm_histopath_tpu.evaluation import DGDMPredictor
+
+        model, params, g = tiny_model_setup()
+        predictor = DGDMPredictor(model=model, params=params,
+                                  feature_extractor="none")
+        server = InferenceServer(predictor, port=18102, dynamic_batch=8,
+                                 batch_wait_ms=50, rate_limit_per_s=500)
+        server.start(background=True)
+        single = {k: np.asarray(v).tolist() for k, v in {
+            "x": g.x[0], "pos": g.pos[0], "nbr_idx": g.nbr_idx[0],
+            "nbr_mask": g.nbr_mask[0], "edge_attr": g.edge_attr[0],
+            "node_mask": g.node_mask[0]}.items()}
+        body = _json.dumps({"graph": single})
+        outs = [None] * 6
+        def call(i):
+            conn = http.client.HTTPConnection("localhost", 18102, timeout=30)
+            conn.request("POST", "/predict", body=body,
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            outs[i] = (r.status, _json.loads(r.read()))
+            conn.close()
+        try:
+            # warm the compile so the timed burst coalesces, not compiles
+            call(0)
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            assert all(o is not None and o[0] == 200 for o in outs), outs
+            p0 = outs[0][1]["probabilities"]
+            for st, o in outs[1:]:
+                np.testing.assert_allclose(o["probabilities"], p0, atol=1e-5)
+            # metrics expose the batching tier
+            conn = http.client.HTTPConnection("localhost", 18102, timeout=10)
+            conn.request("GET", "/metrics")
+            text = conn.getresponse().read().decode()
+            assert "dgdm_batches_total" in text
+            assert "dgdm_batch_size_mean" in text
+            stats = server.batcher.stats
+            assert stats["items"] == 7
+            # the concurrent burst produced at least one multi-item batch
+            assert stats["max_batch_seen"] >= 2
+        finally:
+            server.stop()
