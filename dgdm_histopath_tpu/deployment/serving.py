@@ -17,6 +17,8 @@ Endpoints:
                                {"graph_paths": [...]}; same-bucket graphs are
                                stacked into single device calls
                                (DGDMPredictor.predict_batch)
+  POST /predict_slide        — JSON {"slide_path": ...} (confined to
+                               data_root): full WSI decode→graph→forward
 
 Concurrency model: JAX devices are single-tenant, so by default a
 serializing (single-threaded) server in front of the chip is correct, and
@@ -57,6 +59,20 @@ def graph_from_json(payload: Dict[str, Any]):
         nbr_mask=jnp.asarray(np.asarray(g["nbr_mask"], bool)),
         edge_attr=jnp.asarray(np.asarray(g["edge_attr"], np.float32)),
         node_mask=jnp.asarray(np.asarray(g["node_mask"], bool)))
+
+
+def _to_jsonable(obj: Any):
+    """Recursively convert numpy leaves for JSON responses; arrays larger
+    than ~4M elements (pathological heatmaps) are dropped to None."""
+    if isinstance(obj, np.ndarray):
+        return obj.tolist() if obj.size <= 4_000_000 else None
+    if isinstance(obj, (np.floating, np.integer, np.bool_)):
+        return obj.item()
+    if isinstance(obj, dict):
+        return {k: _to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    return obj
 
 
 class InferenceServer:
@@ -134,6 +150,27 @@ class InferenceServer:
                 result = self.predictor.predict_graph(graph)
         out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                for k, v in result.items()}
+        out["latency_s"] = round(time.perf_counter() - t0, 4)
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["total_latency_s"] += out["latency_s"]
+        return out
+
+    def handle_predict_slide(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Whole-slide inference: {"slide_path": <under data_root>}.
+
+        Runs the full decode→graph→forward pipeline
+        (DGDMPredictor.predict_slide); slide paths are confined to
+        data_root exactly like graph paths. Long-running by nature —
+        point latency-sensitive clients at /predict with prebuilt graphs.
+        """
+        t0 = time.perf_counter()
+        if "slide_path" not in payload:
+            raise ValueError("payload must contain 'slide_path'")
+        path = self._resolve_graph_path(payload["slide_path"])
+        with self._device_lock:
+            result = self.predictor.predict_slide(path)
+        out = _to_jsonable(result)
         out["latency_s"] = round(time.perf_counter() - t0, 4)
         with self._stats_lock:
             self.stats["requests"] += 1
@@ -229,7 +266,8 @@ class InferenceServer:
 
             def do_POST(self):
                 routes = {"/predict": server.handle_predict,
-                          "/predict_batch": server.handle_predict_batch}
+                          "/predict_batch": server.handle_predict_batch,
+                          "/predict_slide": server.handle_predict_slide}
                 handler = routes.get(self.path)
                 if handler is None:
                     self._send(404, {"error": "not found"})

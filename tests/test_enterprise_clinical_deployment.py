@@ -475,3 +475,31 @@ class TestDynamicBatching:
             assert stats["max_batch_seen"] >= 2
         finally:
             server.stop()
+
+class TestPredictSlideEndpoint:
+    """POST /predict_slide runs the full WSI pipeline, confined to data_root."""
+
+    def test_slide_path_confinement_and_roundtrip(self, tmp_path):
+        from dgdm_histopath_tpu.deployment import InferenceServer
+        from dgdm_histopath_tpu.evaluation import DGDMPredictor
+        from dgdm_histopath_tpu.preprocessing import write_synthetic_tiff
+
+        write_synthetic_tiff(tmp_path / "case.tiff", 384, 384, num_levels=3,
+                             seed=0)
+        model, params, g = tiny_model_setup(feat_dim=5)
+        predictor = DGDMPredictor(model=model, params=params,
+                                  feature_extractor="none", patch_size=32,
+                                  max_patches=12, tissue_threshold=0.3,
+                                  node_buckets=(16, 32))
+        server = InferenceServer(predictor, port=18103,
+                                 data_root=str(tmp_path))
+        with pytest.raises(PermissionError):
+            server.handle_predict_slide({"slide_path": "../../etc/passwd"})
+        with pytest.raises(ValueError, match="slide_path"):
+            server.handle_predict_slide({})
+        out = server.handle_predict_slide({"slide_path": "case.tiff"})
+        assert out["slide_id"] == "case"
+        assert out["num_patches"] >= 1
+        assert "probabilities" in out and len(out["probabilities"]) == 2
+        # everything JSON-serializable (nested patch_info dicts included)
+        json.dumps(out)
