@@ -35,7 +35,8 @@ LEVEL_REQUIREMENTS = {
                                 "model_forward", "training_step",
                                 "preprocessing", "data_pipeline",
                                 "checkpointing", "input_validation",
-                                "determinism", "prediction_end_to_end"]},
+                                "determinism", "prediction_end_to_end",
+                                "preemption_resume", "serving"]},
 }
 
 
@@ -221,6 +222,73 @@ def gate_determinism() -> None:
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def gate_preemption_resume() -> None:
+    """Interrupted fit writes a resumable mid-epoch checkpoint (the cloud
+    TPU reclaim path): trigger -> emergency save -> restore -> finish."""
+    import tempfile
+    import jax
+    from ..models import DGDMModel
+    from ..training import (CheckpointManager, DGDMTrainer, PreemptionGuard,
+                            TrainerConfig)
+    model = DGDMModel(node_features=16, hidden_dims=(32, 16), attention_heads=4,
+                      graph_layers=1, num_diffusion_steps=2, num_classes=2,
+                      use_hierarchical=False, compute_dtype="float32")
+    batches = [_tiny_graph(num_classes=2) for _ in range(3)]
+    trainer = DGDMTrainer(model, TrainerConfig(pretrain_epochs=0,
+                                               warmup_steps=1),
+                          use_mesh=False)
+    trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    guard = PreemptionGuard(install=False)
+    guard.trigger()
+    with tempfile.TemporaryDirectory() as d:
+        mgr = CheckpointManager(d)
+        result = trainer.fit(batches, max_epochs=2, checkpoint_manager=mgr,
+                             preemption_guard=guard)
+        assert result["interrupted"] is True
+        info = mgr.record_extra().get("resume")
+        assert info and info["mid_epoch"]
+        resumed = DGDMTrainer(model, TrainerConfig(pretrain_epochs=0,
+                                                   warmup_steps=1),
+                              use_mesh=False)
+        resumed.init_state(jax.random.PRNGKey(0), batches[0])
+        resumed.state = resumed.place_state(mgr.restore(resumed.state))
+        resumed.current_epoch = info["epoch"]
+        done = resumed.fit(batches, max_epochs=2,
+                           start_step_in_epoch=info["step_in_epoch"])
+        assert done["interrupted"] is False
+
+
+def gate_serving() -> None:
+    """Dynamic-batching server answers a predict roundtrip in-process."""
+    import jax
+    from ..deployment import InferenceServer
+    from ..evaluation import DGDMPredictor
+    from ..models import DGDMModel
+    model = DGDMModel(node_features=16, hidden_dims=(16, 8), attention_heads=4,
+                      graph_layers=1, num_diffusion_steps=2, num_classes=2,
+                      use_hierarchical=False, use_spatial_attention=False,
+                      compute_dtype="float32")
+    g = _tiny_graph(b=1)
+    rngs = {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+            "masking": jax.random.PRNGKey(2)}
+    params = model.init(rngs, g, mode="pretrain", deterministic=True)
+    predictor = DGDMPredictor(model=model, params=params,
+                              feature_extractor="none")
+    server = InferenceServer(predictor, port=0, dynamic_batch=4)
+    try:
+        single = jax.tree_util.tree_map(
+            lambda a: a[0] if hasattr(a, "ndim") and a.ndim > 0 else a, g)
+        out = server.handle_predict({"graph": {
+            k: __import__("numpy").asarray(getattr(single, k)).tolist()
+            for k in ("x", "pos", "nbr_idx", "nbr_mask", "edge_attr",
+                      "node_mask")}})
+        assert "probabilities" in out
+        assert server.batcher.stats["items"] == 1
+        assert "dgdm_batch_size_mean" in server.prometheus_metrics()
+    finally:
+        server.stop()
+
+
 GATES: Dict[str, Callable[[], None]] = {
     "imports": gate_imports,
     "config": gate_config,
@@ -233,6 +301,8 @@ GATES: Dict[str, Callable[[], None]] = {
     "input_validation": gate_input_validation,
     "determinism": gate_determinism,
     "prediction_end_to_end": gate_prediction_end_to_end,
+    "preemption_resume": gate_preemption_resume,
+    "serving": gate_serving,
 }
 
 
