@@ -31,6 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "into one device call (0 = serialize requests)")
     p.add_argument("--batch-wait-ms", type=float, default=5.0,
                    help="max queueing delay while a dynamic batch fills")
+    p.add_argument("--batch-timeout-s", type=float, default=60.0,
+                   help="per-request Future timeout inside the dynamic "
+                        "batcher; raise on cold remote-compile backends "
+                        "or use --warmup-nodes")
+    p.add_argument("--warmup-nodes", default=None,
+                   help="comma-separated node-bucket sizes to warm at "
+                        "startup (compiles each power-of-two batch program "
+                        "before accepting traffic), e.g. '1024,2048'")
     p.add_argument("--quant", choices=["int8"], default=None,
                    help="w8a8 int8 inference for the graph model")
     p.add_argument("--feature-extractor", default="none",
@@ -52,7 +60,11 @@ def main(argv=None) -> int:
                              rate_limit_per_s=args.rate_limit,
                              data_root=args.data_root,
                              dynamic_batch=args.dynamic_batch,
-                             batch_wait_ms=args.batch_wait_ms)
+                             batch_wait_ms=args.batch_wait_ms,
+                             batch_timeout_s=args.batch_timeout_s)
+    if args.warmup_nodes:
+        for n in str(args.warmup_nodes).split(","):
+            server.warmup(num_nodes=int(n))
 
     def _term(signum, frame):
         # HTTPServer.shutdown() joins the serve_forever loop — calling it

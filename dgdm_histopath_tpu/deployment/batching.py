@@ -112,14 +112,45 @@ class DynamicBatcher:
                     for f, r in zip(futs, results):
                         f.set_result(r)
                 except BaseException as exc:  # noqa: BLE001
-                    for f in futs:
-                        if not f.done():
-                            f.set_exception(exc)
+                    if len(items) > 1:
+                        # one malformed request must not fail its co-batched
+                        # neighbors (ADVICE r3): retry individually so only
+                        # the offending item propagates its error
+                        logger.warning(
+                            "batch of %d failed (%s); retrying items "
+                            "individually", len(items), exc)
+                        for item, f in zip(items, futs):
+                            if f.done():
+                                continue
+                            try:
+                                r = self.batch_fn([item])
+                                if len(r) != 1:
+                                    raise RuntimeError(
+                                        f"batch_fn returned {len(r)} "
+                                        "results for 1 item")
+                                f.set_result(r[0])
+                            except BaseException as exc1:  # noqa: BLE001
+                                f.set_exception(exc1)
+                    else:
+                        for f in futs:
+                            if not f.done():
+                                f.set_exception(exc)
                 self.stats["batches"] += 1
                 self.stats["items"] += len(items)
                 self.stats["max_batch_seen"] = max(
                     self.stats["max_batch_seen"], len(items))
             if stop:
+                # fail anything that raced close(): an item enqueued behind
+                # the stop marker would otherwise never resolve and its
+                # waiter would block the full Future timeout (ADVICE r3)
+                while True:
+                    try:
+                        entry = self._q.get_nowait()
+                    except Empty:
+                        break
+                    if entry is not None:
+                        entry[1].set_exception(
+                            RuntimeError("batcher is closed"))
                 return
 
     # -- lifecycle -----------------------------------------------------------

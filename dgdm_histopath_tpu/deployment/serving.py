@@ -81,7 +81,8 @@ class InferenceServer:
     def __init__(self, predictor, port: int = 8080,
                  rate_limit_per_s: float = 50.0,
                  data_root: Optional[str] = None,
-                 dynamic_batch: int = 0, batch_wait_ms: float = 5.0):
+                 dynamic_batch: int = 0, batch_wait_ms: float = 5.0,
+                 batch_timeout_s: float = 60.0):
         self.predictor = predictor
         self.port = port
         self.health = ProductionHealthChecker(predictor)
@@ -90,6 +91,10 @@ class InferenceServer:
         self.stats = {"requests": 0, "errors": 0, "total_latency_s": 0.0}
         self._stats_lock = threading.Lock()
         self._httpd: Optional[HTTPServer] = None
+        # on the remote-compile TPU backend an unwarmed batch program takes
+        # minutes — the Future timeout must be raisable past it (ADVICE r3);
+        # warmup() compiles the power-of-two programs before traffic
+        self.batch_timeout_s = float(batch_timeout_s)
         # dynamic batching (deployment/batching.py): concurrent /predict
         # requests coalesce into single predict_batch device calls; the
         # device stays single-tenant behind _device_lock either way
@@ -99,18 +104,31 @@ class InferenceServer:
             from .batching import DynamicBatcher
 
             def _predict_many(graphs):
-                # static shapes: pad the coalesced batch to the next
-                # power of two so XLA compiles log2(max_batch)+1 programs
-                # per node bucket instead of one per arrival count (an
-                # unbucketed batcher recompiles mid-traffic: measured
-                # 0.16x in benchmarks/bench_serving.py before this)
-                n = len(graphs)
-                m = 1
-                while m < n:
-                    m *= 2
-                padded = list(graphs) + [graphs[0]] * (m - n)
+                # static shapes: group by node-bucket shape and pad EACH
+                # group to the next power of two with one of its own
+                # members — predict_batch regroups by (num_nodes,
+                # max_neighbors, feature_dim), so padding only the TOTAL
+                # count left each shape group at an arbitrary size under
+                # mixed-bucket traffic and XLA still compiled one program
+                # per arrival count per bucket (ADVICE r3). Per-group pow2
+                # padding bounds compiles at log2(max_batch)+1 per bucket.
+                groups: Dict[tuple, list] = {}
+                for i, g in enumerate(graphs):
+                    groups.setdefault(
+                        (g.num_nodes, g.max_neighbors, g.feature_dim),
+                        []).append(i)
+                padded, slot = [], [0] * len(graphs)
+                for idxs in groups.values():
+                    for i in idxs:
+                        slot[i] = len(padded)
+                        padded.append(graphs[i])
+                    m = 1
+                    while m < len(idxs):
+                        m *= 2
+                    padded.extend([graphs[idxs[0]]] * (m - len(idxs)))
                 with self._device_lock:
-                    return self.predictor.predict_batch(padded)[:n]
+                    results = self.predictor.predict_batch(padded)
+                return [results[s] for s in slot]
 
             self.batcher = DynamicBatcher(_predict_many,
                                           max_batch=dynamic_batch,
@@ -144,7 +162,7 @@ class InferenceServer:
         else:
             raise ValueError("payload must contain 'graph' or 'graph_path'")
         if self.batcher is not None:
-            result = self.batcher(graph)
+            result = self.batcher(graph, timeout=self.batch_timeout_s)
         else:
             with self._device_lock:
                 result = self.predictor.predict_graph(graph)
@@ -199,9 +217,45 @@ class InferenceServer:
         return {"results": out_results, "count": len(out_results),
                 "latency_s": latency}
 
+    def warmup(self, num_nodes: int = 1024, max_neighbors: int = 8) -> int:
+        """Compile the dynamic-batch programs before accepting traffic.
+
+        On the remote-compile TPU backend an unwarmed batch-size program
+        takes minutes, so without this every request in the first batch of
+        a new size times out and the computed results are discarded
+        (ADVICE r3). Builds one synthetic graph in the given node bucket
+        and runs ``predict_batch`` at each power-of-two size up to
+        ``max_batch``; returns the number of programs warmed.
+        """
+        import jax.numpy as jnp
+        from ..ops.graph import PaddedGraph
+        feat = int(self.predictor.model.node_features)
+        n = int(num_nodes)
+        k = int(max_neighbors)
+        g = PaddedGraph(
+            x=jnp.zeros((n, feat), jnp.float32),
+            pos=jnp.zeros((n, 2), jnp.float32),
+            nbr_idx=jnp.zeros((n, k), jnp.int32),
+            nbr_mask=jnp.zeros((n, k), bool),
+            edge_attr=jnp.zeros((n, k, 3), jnp.float32),
+            node_mask=jnp.ones((n,), bool))
+        sizes, m = [], 1
+        max_b = self.batcher.max_batch if self.batcher is not None else 1
+        while m <= max_b:
+            sizes.append(m)
+            m *= 2
+        for b in sizes:
+            t0 = time.perf_counter()
+            with self._device_lock:
+                self.predictor.predict_batch([g] * b)
+            logger.info("warmup: nodes=%d batch=%d compiled in %.1fs",
+                        n, b, time.perf_counter() - t0)
+        return len(sizes)
+
     def prometheus_metrics(self) -> str:
         """Prometheus text exposition of the serving counters."""
-        s = self.stats
+        with self._stats_lock:
+            s = dict(self.stats)
         mean_lat = s["total_latency_s"] / max(s["requests"], 1)
         lines = [
             "# HELP dgdm_requests_total Total predict requests served.",
@@ -251,7 +305,8 @@ class InferenceServer:
                     self._send(200 if report["healthy"] else 503, report)
                 elif self.path == "/info":
                     info = server.predictor.get_model_info()
-                    info["serving_stats"] = dict(server.stats)
+                    with server._stats_lock:
+                        info["serving_stats"] = dict(server.stats)
                     self._send(200, info)
                 elif self.path == "/metrics":
                     data = server.prometheus_metrics().encode()
@@ -280,7 +335,8 @@ class InferenceServer:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     self._send(200, handler(payload))
                 except Exception as exc:  # noqa: BLE001
-                    server.stats["errors"] += 1
+                    with server._stats_lock:
+                        server.stats["errors"] += 1
                     logger.error("predict failed: %s", exc)
                     self._send(400, {"error": str(exc)})
 

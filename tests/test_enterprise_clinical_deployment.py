@@ -1,6 +1,7 @@
 """Tests for federated learning, clinical, enterprise, and deployment layers."""
 
 import json
+import time
 
 import numpy as np
 import pytest
@@ -412,7 +413,9 @@ class TestDynamicBatching:
 
     def test_batcher_length_mismatch_fails_loudly(self):
         from dgdm_histopath_tpu.deployment import DynamicBatcher
-        b = DynamicBatcher(lambda items: [0], max_batch=4, max_wait_ms=30)
+        # empty return can never satisfy any batch size, including the
+        # individual retries — every waiter must see the mismatch error
+        b = DynamicBatcher(lambda items: [], max_batch=4, max_wait_ms=30)
         f1, f2 = b.submit("a"), b.submit("b")
         errs = 0
         for f in (f1, f2):
@@ -420,9 +423,99 @@ class TestDynamicBatching:
                 f.result(timeout=10)
             except RuntimeError:
                 errs += 1
-        # at least the coalesced waiters see the mismatch error
-        assert errs >= 1
+        assert errs == 2
         b.close()
+
+    def test_bad_item_does_not_fail_cobatched_neighbors(self):
+        # ADVICE r3: a batch poisoned by one malformed item retries its
+        # items individually — only the offender's future errors
+        import threading
+        from dgdm_histopath_tpu.deployment import DynamicBatcher
+        gate = threading.Event()
+
+        def batch_fn(items):
+            gate.wait(5.0)
+            if any(i == "poison" for i in items):
+                raise ValueError("malformed graph")
+            return [f"ok:{i}" for i in items]
+
+        b = DynamicBatcher(batch_fn, max_batch=8, max_wait_ms=50)
+        futs = [b.submit(i) for i in (0, "poison", 2, 3)]
+        gate.set()
+        assert futs[0].result(timeout=10) == "ok:0"
+        assert futs[2].result(timeout=10) == "ok:2"
+        assert futs[3].result(timeout=10) == "ok:3"
+        with pytest.raises(ValueError, match="malformed"):
+            futs[1].result(timeout=10)
+        b.close()
+
+    def test_close_drains_items_behind_stop_marker(self):
+        # ADVICE r3: an item that races close() and lands behind the stop
+        # marker must fail fast, not strand its waiter until the timeout
+        import threading
+        from concurrent.futures import Future
+        from dgdm_histopath_tpu.deployment import DynamicBatcher
+        gate = threading.Event()
+
+        def batch_fn(items):
+            gate.wait(5.0)
+            return list(items)
+
+        b = DynamicBatcher(batch_fn, max_batch=1, max_wait_ms=1)
+        first = b.submit("a")                    # occupies the loop at gate
+        time.sleep(0.05)
+        stranded: Future = Future()
+        b._q.put(None)                           # simulated close() marker
+        b._q.put(("late", stranded))             # racing submit
+        gate.set()
+        assert first.result(timeout=10) == "a"
+        with pytest.raises(RuntimeError, match="closed"):
+            stranded.result(timeout=10)
+        b._closed = True
+        b._thread.join(timeout=10)
+
+    def test_mixed_bucket_batches_pad_per_shape_group(self):
+        # ADVICE r3: the batcher's device fn must pad each SHAPE GROUP to
+        # a power of two (predict_batch regroups by bucket, so padding the
+        # total count alone leaves per-bucket sizes arbitrary and XLA
+        # compiles one program per arrival count per bucket)
+        from dgdm_histopath_tpu.deployment import InferenceServer
+        from dgdm_histopath_tpu.evaluation import DGDMPredictor
+        model, params, _ = tiny_model_setup()
+        predictor = DGDMPredictor(model=model, params=params,
+                                  feature_extractor="none")
+        server = InferenceServer(predictor, port=18103, dynamic_batch=8)
+        seen_group_sizes = []
+        real_predict_batch = predictor.predict_batch
+
+        def spy(graphs):
+            sizes = {}
+            for g in graphs:
+                key = (g.num_nodes, g.max_neighbors, g.feature_dim)
+                sizes[key] = sizes.get(key, 0) + 1
+            seen_group_sizes.append(sorted(sizes.values()))
+            return real_predict_batch(graphs)
+
+        predictor.predict_batch = spy
+        try:
+            # 3 small-bucket + 1 large-bucket graphs in one coalesced batch
+            gs = [make_synthetic_graph(seed=i, n_nodes=16, n_real=12,
+                                       feat_dim=8) for i in range(3)]
+            gs.append(make_synthetic_graph(seed=9, n_nodes=32, n_real=20,
+                                           feat_dim=8))
+            results = server.batcher.batch_fn(gs)
+        finally:
+            predictor.predict_batch = real_predict_batch
+            server.batcher.close()
+        assert len(results) == 4
+        assert all("probabilities" in r for r in results)
+        # each shape group padded to a power of two: 3 -> 4, 1 -> 1
+        assert seen_group_sizes == [[1, 4]]
+        # results map back to their own graphs, not the filler: distinct
+        # inputs in the same group must give distinct embeddings
+        e0 = np.asarray(results[0]["graph_embedding"])
+        e1 = np.asarray(results[1]["graph_embedding"])
+        assert not np.allclose(e0, e1)
 
     def test_http_concurrent_predicts_coalesce(self):
         import http.client
