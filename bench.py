@@ -1,9 +1,11 @@
 """Benchmark harness: DGDM-Base training-step throughput + MFU on the real chip.
 
-Prints ONE JSON line:
-  {"metric", "value", "unit", "vs_baseline",
-   "params", "flops_per_step", "achieved_tflops", "mfu",
-   "step_time_ms", "device", "peak_bf16_tflops", "baseline_derivation"}
+Prints ONE *compact* JSON line (<~1 kB — the driver captures only the tail
+of stdout, see VERDICT r3 weak #4):
+  {"metric", "value", "unit", "vs_baseline", "mfu", "mfu_model_math",
+   "step_time_ms", "batch", "device", <one-line rider summaries>, "detail"}
+The full record (flops accounting, memory analysis, timing protocol, full
+rider sub-objects) is written to docs/results/bench_full.json.
 
 Honest accounting (replaces round-1's invented 4-graphs/s constant — see
 BASELINE.md "Throughput baseline derivation"):
@@ -847,7 +849,50 @@ def main():
         except Exception as exc:  # noqa: BLE001
             base["large_windowed"] = {
                 "error": f"{type(exc).__name__}: {str(exc)[:200]}"}
-    print(json.dumps(base))
+    # DRIVER CONTRACT (VERDICT r3 weak #4): print exactly ONE *compact*
+    # JSON line (<~1 kB) — round-3's full record overflowed the driver's
+    # tail capture and BENCH_r03 recorded `parsed: null`. The full record
+    # (flops accounting, memory analysis, timing protocol, sub-benches)
+    # goes to docs/results/bench_full.json; the stdout line carries the
+    # headline numbers plus one-line summaries of the riders.
+    import os
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "results", "bench_full.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as fh:
+            json.dump(base, fh, indent=1)
+    except OSError:
+        full_path = None
+
+    def _brief(r):
+        if not isinstance(r, dict):
+            return None
+        if "error" in r:
+            return {"error": r["error"][:120]}
+        return {"value": r.get("value"),
+                "vs_baseline": r.get("vs_baseline"),
+                "mfu": r.get("mfu"),
+                "mfu_model_math": r.get("mfu_model_math"),
+                "step_time_ms": r.get("step_time_ms")}
+
+    compact = {
+        "metric": base["metric"],
+        "value": base["value"],
+        "unit": base["unit"],
+        "vs_baseline": base["vs_baseline"],
+        "mfu": base.get("mfu"),
+        "mfu_model_math": base.get("mfu_model_math"),
+        "step_time_ms": base.get("step_time_ms"),
+        "batch": base.get("batch"),
+        "device": base.get("device"),
+    }
+    for key in ("windowed", "large", "large_windowed"):
+        if key in base:
+            compact[key] = _brief(base[key])
+    if full_path:
+        compact["detail"] = "docs/results/bench_full.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
