@@ -292,3 +292,39 @@ def bootstrap_ci(
     lo, hi = np.percentile(stats, [100 * alpha / 2, 100 * (1 - alpha / 2)])
     return {"value": float(point), "lower": float(lo), "upper": float(hi),
             "n_bootstrap": len(stats)}
+
+
+def paired_bootstrap_delta(
+    metric_fn,
+    labels: np.ndarray,
+    scores_a: np.ndarray,
+    scores_b: np.ndarray,
+    n_bootstrap: int = 2000,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Paired percentile-bootstrap CI for ``metric(b) - metric(a)`` on the
+    SAME test set: each resample draws one index set and evaluates both
+    score vectors on it, so between-slide variance cancels and the CI
+    reflects only the systems' disagreement. This is the right test for
+    accuracy A/Bs (dense vs windowed/int8/MoE, pretrain vs scratch) —
+    two independent CIs overlapping says much less than the paired delta.
+    """
+    labels = np.asarray(labels)
+    scores_a, scores_b = np.asarray(scores_a), np.asarray(scores_b)
+    rs = np.random.RandomState(seed)
+    n = len(labels)
+    point = metric_fn(labels, scores_b) - metric_fn(labels, scores_a)
+    deltas = []
+    for _ in range(n_bootstrap):
+        idx = rs.randint(0, n, n)
+        va = metric_fn(labels[idx], scores_a[idx])
+        vb = metric_fn(labels[idx], scores_b[idx])
+        if np.isfinite(va) and np.isfinite(vb):
+            deltas.append(vb - va)
+    if not deltas:
+        return {"delta": float(point), "lower": float("nan"),
+                "upper": float("nan")}
+    lo, hi = np.percentile(deltas, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return {"delta": float(point), "lower": float(lo), "upper": float(hi),
+            "n_bootstrap": len(deltas)}

@@ -156,10 +156,28 @@ class PositionalEncoder(nn.Module):
 
 
 class HierarchicalEncoder(nn.Module):
-    """Multi-resolution encoder: per-level GraphEncoders + cross-level attention.
+    """Multi-resolution encoder over DISTINCT coarsened graphs.
 
-    Mirrors reference ``models/encoders.py:363-481``. Levels share the node
-    set here (padded layout); level granularity comes from pooling masks.
+    Mirrors reference ``models/encoders.py:363-481``: per-level
+    ``GraphEncoder``s run on *separate graphs* (one per resolution level),
+    each coarser level attends to the previous finer level, every level is
+    mean-pooled to a slide vector, and the concatenated level vectors are
+    fused by an MLP into one graph-level representation.
+
+    Two input forms, both static-shape (TPU/XLA friendly):
+
+    * **Per-level graphs** (reference API parity): pass sequences for
+      ``x / nbr_idx / nbr_mask / node_mask`` (and optionally ``edge_attr``),
+      e.g. from ``TissueGraphBuilder.build_hierarchical_graphs`` — distinct
+      node sets with their own rebuilt kNN topology per level.
+    * **Single graph**: levels are derived IN-MODEL by degree-scored top-k
+      compaction (``ops.graph.compact_top_k_nodes``) at ``pooling_ratio``
+      per level — each level is a physically smaller tensor with remapped
+      neighbor indices (one-hot MXU matmuls, no dynamic shapes), so level
+      ``l`` costs ~``ratio**l`` of the base level instead of full-N
+      re-masked compute.
+
+    Returns the fused graph-level vector ``[..., hidden_dim]``.
     """
 
     hidden_dim: int
@@ -168,42 +186,87 @@ class HierarchicalEncoder(nn.Module):
     num_heads: int = 8
     edge_dim: int = 3
     dropout: float = 0.1
+    pooling_ratio: float = 0.5
+    cross_level_attention: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
-        nbr_idx: jnp.ndarray,
-        nbr_mask: jnp.ndarray,
-        node_mask: jnp.ndarray,
-        edge_attr: Optional[jnp.ndarray] = None,
+        x,
+        nbr_idx,
+        nbr_mask,
+        node_mask,
+        edge_attr=None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        from ..ops.graph import compact_top_k_nodes, masked_global_mean
+
+        if isinstance(x, (list, tuple)):
+            levels = [
+                dict(x=x[i], nbr_idx=nbr_idx[i], nbr_mask=nbr_mask[i],
+                     node_mask=node_mask[i],
+                     edge_attr=None if edge_attr is None else edge_attr[i])
+                for i in range(len(x))
+            ]
+            if len(levels) != self.num_levels:
+                raise ValueError(
+                    f"got {len(levels)} per-level graphs, expected "
+                    f"num_levels={self.num_levels}")
+        else:
+            # derive coarser levels in-model: keep the top-ratio nodes by
+            # degree (the builder's coarsen_graph criterion,
+            # preprocessing/tissue_graph_builder.py:181) with remapped
+            # neighbor rows — distinct node sets, physically smaller
+            levels = [dict(x=x, nbr_idx=nbr_idx, nbr_mask=nbr_mask,
+                           node_mask=node_mask, edge_attr=edge_attr)]
+            for _ in range(1, self.num_levels):
+                prev = levels[-1]
+                n = prev["x"].shape[-2]
+                keep = max(1, int(round(n * self.pooling_ratio)))
+                deg = jnp.sum(prev["nbr_mask"], axis=-1).astype(jnp.float32)
+                c = compact_top_k_nodes(
+                    prev["x"], prev["nbr_idx"], prev["nbr_mask"],
+                    prev["node_mask"], deg, keep,
+                    edge_attr=prev["edge_attr"])
+                levels.append(dict(x=c["x"], nbr_idx=c["nbr_idx"],
+                                   nbr_mask=c["nbr_mask"],
+                                   node_mask=c["node_mask"],
+                                   edge_attr=c["edge_attr"]))
+
         level_embs = []
-        cur_mask = node_mask
-        for lvl in range(self.num_levels):
+        for lvl, g in enumerate(levels):
             enc = GraphEncoder(
                 self.hidden_dim, self.num_layers_per_level, self.num_heads,
                 self.edge_dim, self.dropout, name=f"level{lvl}",
                 dtype=self.dtype, param_dtype=self.param_dtype,
-            )(x, nbr_idx, nbr_mask, cur_mask, edge_attr, deterministic=deterministic)
+            )(g["x"], g["nbr_idx"], g["nbr_mask"], g["node_mask"],
+              g["edge_attr"], deterministic=deterministic)
             level_embs.append(enc["embeddings"])
-            # coarsen: keep every other real node for the next level
-            if lvl + 1 < self.num_levels:
-                n = cur_mask.shape[-1]
-                stride_keep = (jnp.arange(n) % 2 == 0)
-                cur_mask = cur_mask & stride_keep
-        # cross-level attention: finest level queries coarser levels
-        fused = level_embs[0]
-        for lvl in range(1, self.num_levels):
-            fused = fused + MultiHeadAttention(
-                self.hidden_dim, self.num_heads, self.dropout, name=f"cross{lvl}",
-                dtype=self.dtype, param_dtype=self.param_dtype,
-            )(fused, level_embs[lvl], level_embs[lvl], key_mask=node_mask,
-              deterministic=deterministic)
-        fused = nn.Dense(self.hidden_dim, name="fusion", dtype=self.dtype,
-                         param_dtype=self.param_dtype)(
-            jnp.concatenate([level_embs[0], fused], axis=-1))
-        return fused * node_mask[..., None].astype(fused.dtype)
+
+        # cross-level attention: each coarser level queries the previous
+        # finer level (reference :459-470)
+        if self.cross_level_attention:
+            attended = [level_embs[0]]
+            for lvl in range(1, self.num_levels):
+                attended.append(level_embs[lvl] + MultiHeadAttention(
+                    self.hidden_dim, self.num_heads, self.dropout,
+                    name=f"cross{lvl}", dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(level_embs[lvl], level_embs[lvl - 1], level_embs[lvl - 1],
+                  key_mask=levels[lvl - 1]["node_mask"],
+                  deterministic=deterministic))
+            level_embs = attended
+
+        # pool every level to a slide vector over ITS OWN real nodes,
+        # concat, fuse (reference :472-481)
+        pooled = [masked_global_mean(emb, g["node_mask"])
+                  for emb, g in zip(level_embs, levels)]
+        cat = jnp.concatenate(pooled, axis=-1)
+        h = nn.Dense(self.hidden_dim, name="fusion0", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(cat)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.hidden_dim, name="fusion1", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(h)

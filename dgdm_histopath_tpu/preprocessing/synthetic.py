@@ -28,8 +28,26 @@ def generate_tissue_image(
     num_blobs: int = 6,
     nuclei_density: float = 0.002,
     seed: int = 0,
+    focal_density: Optional[float] = None,
+    focal_frac: float = 0.0,
+    stain_jitter: float = 0.0,
+    brightness_jitter: float = 0.0,
+    noise_sigma: float = 3.0,
+    nuclei_radius: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Procedural H&E image. Returns (rgb uint8 [H,W,3], tissue_mask bool)."""
+    """Procedural H&E image. Returns (rgb uint8 [H,W,3], tissue_mask bool).
+
+    Beyond the original uniform-density rendering, supports the calibrated
+    hard benchmark (VERDICT r3 #1) via:
+      * ``focal_density``/``focal_frac`` — ONE elliptical focus covering
+        ~``focal_frac`` of the tissue whose nuclei density is
+        ``focal_density`` instead of the baseline (a focal lesion or a
+        benign mimic, depending on contrast);
+      * ``stain_jitter`` — per-image multiplicative perturbation of the
+        H&E stain colors (scanner/stain variation);
+      * ``brightness_jitter`` / ``noise_sigma`` / ``nuclei_radius`` —
+        scanner gain, sensor noise, and apparent nucleus size variation.
+    """
     rs = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     tissue = np.zeros((height, width), np.float32)
@@ -44,25 +62,104 @@ def generate_tissue_image(
         d = (dx / rx) ** 2 + (dy / ry) ** 2
         tissue = np.maximum(tissue, np.clip(1.5 - d, 0.0, 1.0))
     tissue = np.clip(tissue, 0.0, 1.0)
+    # stain/scanner jitter: per-image color-matrix + gain perturbation
+    eosin, hema, background = _EOSIN, _HEMATOXYLIN, _BACKGROUND
+    if stain_jitter > 0:
+        eosin = eosin * rs.uniform(1 - stain_jitter, 1 + stain_jitter, 3)
+        hema = hema * rs.uniform(1 - stain_jitter, 1 + stain_jitter, 3)
+        background = background * rs.uniform(1 - stain_jitter / 2,
+                                             1 + stain_jitter / 2, 3)
     # low-frequency eosin texture
     coarse = rs.rand(height // 32 + 1, width // 32 + 1).astype(np.float32)
     texture = np.kron(coarse, np.ones((32, 32), np.float32))[:height, :width]
-    img = _BACKGROUND[None, None] * (1 - tissue[..., None]) + (
-        (_EOSIN[None, None] * (0.6 + 0.4 * texture[..., None])) * tissue[..., None])
-    # nuclei dots
-    n_nuclei = int(nuclei_density * tissue.sum())
-    if n_nuclei > 0:
-        ys, xs = np.nonzero(tissue > 0.5)
-        if len(ys):
-            pick = rs.choice(len(ys), min(n_nuclei, len(ys)), replace=False)
-            r = 3
-            for y, x in zip(ys[pick], xs[pick]):
-                y0, y1 = max(0, y - r), min(height, y + r + 1)
-                x0, x1 = max(0, x - r), min(width, x + r + 1)
-                img[y0:y1, x0:x1] = _HEMATOXYLIN
-    noise = rs.randn(height, width, 3).astype(np.float32) * 3.0
+    img = background[None, None] * (1 - tissue[..., None]) + (
+        (eosin[None, None] * (0.6 + 0.4 * texture[..., None])) * tissue[..., None])
+
+    # one elliptical focal region inside tissue (lesion or benign mimic):
+    # nuclei density there is focal_density, baseline elsewhere
+    focus = np.zeros((height, width), bool)
+    if focal_density is not None and focal_frac > 0:
+        ty, tx_ = np.nonzero(tissue > 0.5)
+        if len(ty):
+            j = rs.randint(len(ty))
+            cy, cx = float(ty[j]), float(tx_[j])
+            # ellipse area pi*rx*ry ~= focal_frac * tissue area
+            area = focal_frac * float((tissue > 0.5).sum())
+            r0 = np.sqrt(area / np.pi)
+            ar = rs.uniform(0.6, 1.6)
+            rx, ry = r0 * ar, r0 / ar
+            theta = rs.uniform(0, np.pi)
+            dx = (xx - cx) * np.cos(theta) + (yy - cy) * np.sin(theta)
+            dy = -(xx - cx) * np.sin(theta) + (yy - cy) * np.cos(theta)
+            focus = (((dx / max(rx, 1.0)) ** 2 + (dy / max(ry, 1.0)) ** 2)
+                     <= 1.0) & (tissue > 0.5)
+
+    def _stamp_nuclei(region_mask: np.ndarray, density: float) -> None:
+        n = int(density * region_mask.sum())
+        if n <= 0:
+            return
+        ys, xs = np.nonzero(region_mask)
+        if not len(ys):
+            return
+        pick = rs.choice(len(ys), min(n, len(ys)), replace=False)
+        r = nuclei_radius
+        for y, x in zip(ys[pick], xs[pick]):
+            y0, y1 = max(0, y - r), min(height, y + r + 1)
+            x0, x1 = max(0, x - r), min(width, x + r + 1)
+            img[y0:y1, x0:x1] = hema
+
+    _stamp_nuclei((tissue > 0.5) & ~focus, nuclei_density)
+    if focus.any():
+        _stamp_nuclei(focus, focal_density)
+    if brightness_jitter > 0:
+        img = img * rs.uniform(1 - brightness_jitter, 1 + brightness_jitter)
+    noise = rs.randn(height, width, 3).astype(np.float32) * noise_sigma
     img = np.clip(img + noise, 0, 255).astype(np.uint8)
     return img, tissue > 0.3
+
+
+# Calibrated hard stand-in task (VERDICT r3 #1): one source of truth for
+# the per-slide generation parameters, shared by the dataset generator
+# (scripts/eval_camelyon16.py --hard) and the fast oracle separability
+# probe (benchmarks/probe_hard_task.py) so calibration transfers 1:1.
+HARD_TASK_DEFAULTS = dict(
+    base_density=(0.0030, 0.0090),   # per-slide baseline, log-uniform (3x)
+    lesion_contrast=(2.1, 2.7),      # tumor focus density / own baseline
+    mimic_contrast=(1.2, 1.7),       # benign focus on normal slides
+    lesion_frac=(0.06, 0.14),        # focus area as fraction of tissue
+    mimic_frac=(0.05, 0.12),
+    stain_jitter=0.15,               # per-slide H&E color-matrix jitter
+    brightness_jitter=0.08,          # scanner gain
+    noise_sigma=(2.0, 5.0),          # sensor noise, per-slide uniform
+    nuclei_radius=(2, 3, 3, 4),      # apparent nucleus size, per-slide
+)
+
+
+def sample_hard_slide_params(rs: np.random.RandomState, tumor: bool,
+                             size: int = 1024, seed: int = 0,
+                             **overrides) -> dict:
+    """Sample one slide's render kwargs for the calibrated hard task.
+
+    ``rs`` drives the *task-level* draws (baseline density, contrast,
+    focus size, nuisance magnitudes); ``seed`` seeds the renderer's own
+    texture/geometry RNG. Returns kwargs for :func:`generate_tissue_image`
+    / :func:`write_synthetic_tiff`.
+    """
+    cfg = dict(HARD_TASK_DEFAULTS)
+    cfg.update(overrides)
+    base = float(np.exp(rs.uniform(np.log(cfg["base_density"][0]),
+                                   np.log(cfg["base_density"][1]))))
+    lo, hi = cfg["lesion_contrast"] if tumor else cfg["mimic_contrast"]
+    focal = base * rs.uniform(lo, hi)
+    frac = rs.uniform(*(cfg["lesion_frac"] if tumor else cfg["mimic_frac"]))
+    return dict(
+        width=size, height=size, seed=seed,
+        nuclei_density=base, focal_density=focal, focal_frac=float(frac),
+        stain_jitter=cfg["stain_jitter"],
+        brightness_jitter=cfg["brightness_jitter"],
+        noise_sigma=float(rs.uniform(*cfg["noise_sigma"])),
+        nuclei_radius=int(rs.choice(list(cfg["nuclei_radius"]))),
+    )
 
 
 def build_pyramid(level0: np.ndarray, num_levels: int = 4) -> List[np.ndarray]:

@@ -239,3 +239,183 @@ class SecurityAuditor:
 
 
 GLOBAL_AUDITOR = SecurityAuditor()
+
+
+class VulnerabilityScanner:
+    """Offline vulnerability scanner: inputs, file permissions, secrets,
+    dependencies, and config hygiene.
+
+    Parity surface: reference ``utils/security.py:471-553``
+    (``VulnerabilityScanner.scan_input`` / ``scan_file_permissions``),
+    extended with the dependency / config / secret sweeps a zero-egress
+    deployment can still run (no CVE feed — the advisory table ships
+    in-repo and is intentionally small).
+    """
+
+    VULN_PATTERNS: Dict[str, List[str]] = {
+        "sql_injection": [r"'\s*or\s*'1'\s*=\s*'1", r"'\s*;\s*drop\s+table",
+                          r"union\s+select"],
+        "command_injection": [r";\s*rm\s+-rf", r"\|\s*cat\s+/etc/passwd",
+                              r"&&\s*curl", r"\$\(.*\)"],
+        "path_traversal": [r"\.\./.*\.\./", r"/etc/passwd",
+                           r"/proc/self/environ"],
+        "code_injection": [r"__import__\s*\(", r"\bexec\s*\(",
+                           r"\beval\s*\(", r"pickle\.loads\s*\("],
+    }
+
+    # secrets-in-files sweep (scan_tree)
+    SECRET_PATTERNS: Dict[str, str] = {
+        "private_key": r"-----BEGIN (?:RSA |EC |OPENSSH )?PRIVATE KEY-----",
+        "aws_access_key": r"\bAKIA[0-9A-Z]{16}\b",
+        "generic_api_key": r"(?i)\b(?:api[_-]?key|secret[_-]?key|auth[_-]?"
+                           r"token)\b\s*[:=]\s*['\"][A-Za-z0-9_\-/+]{16,}['\"]",
+        "password_literal": r"(?i)\bpassword\s*[:=]\s*['\"][^'\"]{4,}['\"]",
+    }
+
+    # minimal offline advisory table: package -> (max_vulnerable_version,
+    # advisory). Checked against importlib.metadata at scan time.
+    KNOWN_ADVISORIES: Dict[str, Tuple[str, str]] = {
+        "pyyaml": ("5.3.1", "CVE-2020-14343 unsafe load RCE"),
+        "pillow": ("9.0.0", "CVE-2022-22817 eval in ImageMath"),
+        "requests": ("2.31.0", "CVE-2023-32681 Proxy-Authorization leak"),
+        "urllib3": ("1.26.17", "CVE-2023-43804 cookie header leak"),
+        "cryptography": ("41.0.0", "multiple OpenSSL advisories"),
+    }
+
+    INSECURE_CONFIG_RULES = (
+        ("debug", lambda v: v in (True, "true", "True", "1"),
+         "debug mode enabled in deployment config"),
+        ("host", lambda v: v == "0.0.0.0",
+         "service binds all interfaces; restrict or front with a proxy"),
+        ("ssl", lambda v: v in (False, "false", "False", "0"),
+         "TLS disabled"),
+        ("verify", lambda v: v in (False, "false", "False", "0"),
+         "certificate verification disabled"),
+    )
+
+    def __init__(self):
+        self._compiled = {
+            kind: [re.compile(p, re.IGNORECASE) for p in pats]
+            for kind, pats in self.VULN_PATTERNS.items()}
+        self._secret_res = {k: re.compile(p)
+                            for k, p in self.SECRET_PATTERNS.items()}
+
+    # -- reference-parity scans -------------------------------------------
+    def scan_input(self, input_data: str) -> Dict:
+        """Pattern-scan one untrusted string (reference :501-523)."""
+        vulnerabilities = []
+        for kind, pats in self._compiled.items():
+            for pat in pats:
+                if pat.search(input_data):
+                    vulnerabilities.append({"type": kind,
+                                            "pattern": pat.pattern,
+                                            "severity": "high"})
+        return {"vulnerabilities": vulnerabilities,
+                "risk_score": min(10 * len(vulnerabilities), 100),
+                "safe": not vulnerabilities}
+
+    def scan_file_permissions(self, directory: Path | str) -> Dict:
+        """World-writable files + world-readable secrets (reference :525)."""
+        issues = []
+        sensitive = ("key", "secret", "password", "token", "private")
+        for p in Path(directory).rglob("*"):
+            try:
+                if not p.is_file():
+                    continue
+                mode = p.stat().st_mode
+            except OSError:
+                continue
+            if mode & 0o002:
+                issues.append({"file": str(p), "issue": "world_writable",
+                               "severity": "high",
+                               "permissions": oct(mode)[-3:]})
+            if mode & 0o004 and any(s in p.name.lower() for s in sensitive):
+                issues.append({"file": str(p),
+                               "issue": "sensitive_world_readable",
+                               "severity": "medium",
+                               "permissions": oct(mode)[-3:]})
+        return {"issues_found": len(issues), "issues": issues}
+
+    # -- beyond-parity scans ----------------------------------------------
+    def scan_dependencies(self) -> Dict:
+        """Compare installed package versions against the in-repo advisory
+        table (zero-egress CVE check)."""
+        from importlib import metadata
+
+        def parse(v: str) -> tuple:
+            return tuple(int(x) for x in re.findall(r"\d+", v)[:3] or [0])
+
+        findings = []
+        for pkg, (max_vuln, advisory) in self.KNOWN_ADVISORIES.items():
+            try:
+                installed = metadata.version(pkg)
+            except metadata.PackageNotFoundError:
+                continue
+            if parse(installed) <= parse(max_vuln):
+                findings.append({"package": pkg, "installed": installed,
+                                 "fixed_after": max_vuln,
+                                 "advisory": advisory, "severity": "high"})
+        return {"issues_found": len(findings), "issues": findings}
+
+    def scan_config(self, config: Dict) -> Dict:
+        """Flag insecure configuration values (flattened dotted keys)."""
+        issues = []
+
+        def walk(d: Dict, prefix: str = ""):
+            for k, v in d.items():
+                dotted = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    walk(v, dotted + ".")
+                    continue
+                for rule_key, bad, msg in self.INSECURE_CONFIG_RULES:
+                    if k.lower().endswith(rule_key) and bad(v):
+                        issues.append({"key": dotted, "value": str(v)[:64],
+                                       "issue": msg, "severity": "medium"})
+                if isinstance(v, str) and re.search(
+                        r"(?i)(secret|token|password|key)$", k) and v:
+                    issues.append({"key": dotted, "value": "<redacted>",
+                                   "issue": "secret stored in plain config; "
+                                            "use SecureStorage or env",
+                                   "severity": "medium"})
+
+        walk(config or {})
+        return {"issues_found": len(issues), "issues": issues}
+
+    def scan_tree(self, directory: Path | str,
+                  max_bytes: int = 262_144,
+                  suffixes: Tuple[str, ...] = (".py", ".yaml", ".yml",
+                                               ".json", ".toml", ".cfg",
+                                               ".ini", ".env", ".sh")) -> Dict:
+        """Sweep a source/config tree for committed secrets."""
+        findings = []
+        for p in Path(directory).rglob("*"):
+            if not p.is_file() or p.suffix.lower() not in suffixes:
+                continue
+            try:
+                text = p.read_text(errors="ignore")[:max_bytes]
+            except OSError:
+                continue
+            for kind, pat in self._secret_res.items():
+                for m in pat.finditer(text):
+                    findings.append({
+                        "file": str(p), "type": kind, "severity": "high",
+                        "line": text.count("\n", 0, m.start()) + 1})
+        return {"issues_found": len(findings), "issues": findings}
+
+    def full_scan(self, directory: Path | str,
+                  config: Optional[Dict] = None) -> Dict:
+        """Aggregate report across all scan families."""
+        report = {
+            "file_permissions": self.scan_file_permissions(directory),
+            "secrets": self.scan_tree(directory),
+            "dependencies": self.scan_dependencies(),
+            "config": self.scan_config(config or {}),
+        }
+        report["issues_found"] = sum(r["issues_found"]
+                                     for r in report.values()
+                                     if isinstance(r, dict))
+        report["safe"] = report["issues_found"] == 0
+        GLOBAL_AUDITOR.record("vulnerability_scan",
+                              f"issues={report['issues_found']}",
+                              "warning" if report["issues_found"] else "info")
+        return report

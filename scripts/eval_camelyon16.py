@@ -105,6 +105,96 @@ def generate_synthetic_camelyon16(root: Path, n_per_class: int = 10,
         csv.writer(f).writerows(rows)
 
 
+def generate_synthetic_camelyon16_hard(root: Path, n_train_per_class: int = 32,
+                                       n_test_per_class: int = 64,
+                                       size: int = 1024, seed: int = 0,
+                                       label_noise: float = 0.05,
+                                       **param_overrides) -> dict:
+    """Calibrated-difficulty stand-in benchmark (VERDICT r3 #1).
+
+    The round-3 stand-in (8x global nuclei density, n_test=16) saturated at
+    AUC 1.0 and could not detect any regression. This task is built so a
+    correct model lands in ~0.80-0.95:
+
+      * **Focal lesions, not global shifts** — tumor slides carry ONE small
+        focus (4-12% of tissue) at ``lesion_contrast``x the slide's own
+        baseline density (real metastases are focal;
+        /root/reference/README.md:267 task).
+      * **Per-slide baseline jitter (3x)** — baseline density is log-uniform
+        in [0.0010, 0.0030], so ABSOLUTE density is non-diagnostic: a dense
+        normal slide out-densities a sparse tumor slide's lesion. The model
+        must compare the focus against the slide's own baseline (global
+        context).
+      * **Benign mimics** — normal slides carry a focus too, at the weaker
+        ``mimic_contrast``x (overlapping morphology).
+      * **Stain/scanner jitter** — per-slide H&E color-matrix, brightness,
+        sensor-noise, and nucleus-size perturbations.
+      * **Train label noise** — ``label_noise`` of training slides are filed
+        in the wrong class directory (test labels stay clean).
+
+    Parameter distributions live in ONE place —
+    ``preprocessing.synthetic.HARD_TASK_DEFAULTS`` /
+    ``sample_hard_slide_params`` — shared with the oracle separability
+    probe (``benchmarks/probe_hard_task.py``) that calibrated them
+    (oracle AUC 0.92 [0.85, 0.98] at n=96), so probe-measured difficulty
+    transfers to this dataset exactly. ``param_overrides`` pass through to
+    the sampler.
+
+    Returns the generation manifest (written to ``root/manifest.json``).
+    """
+    from dgdm_histopath_tpu.preprocessing.synthetic import (
+        HARD_TASK_DEFAULTS, sample_hard_slide_params, write_synthetic_tiff,
+    )
+    rows, manifest = [], []
+    rs_noise = np.random.RandomState(seed + 777)
+    idx = 0
+    for split, n in (("training", n_train_per_class),
+                     ("testing", n_test_per_class)):
+        for true_label, name in ((0, "normal"), (1, "tumor")):
+            for i in range(n):
+                idx += 1
+                rs = np.random.RandomState(seed * 100003 + idx)
+                params = sample_hard_slide_params(
+                    rs, bool(true_label), size=size, seed=seed + idx,
+                    **param_overrides)
+                params["num_levels"] = 3
+                filed_label = true_label
+                if split == "training" and rs_noise.rand() < label_noise:
+                    filed_label = 1 - true_label  # noisy training label
+                if split == "training":
+                    dirname = "normal" if filed_label == 0 else "tumor"
+                    p = (root / "training" / dirname /
+                         f"{dirname}_{idx:04d}.tiff")
+                else:
+                    p = root / "testing" / "images" / f"test_{idx:04d}.tiff"
+                    rows.append((p.stem, "Tumor" if true_label else "Normal"))
+                if not p.exists():
+                    write_synthetic_tiff(p, **params)
+                manifest.append({"slide": p.stem, "split": split,
+                                 "true_label": true_label,
+                                 "filed_label": filed_label,
+                                 "baseline_density": round(
+                                     params["nuclei_density"], 6),
+                                 "focal_density": round(
+                                     params["focal_density"], 6),
+                                 "focal_frac": round(
+                                     params["focal_frac"], 4)})
+    ref = root / "testing" / "reference.csv"
+    ref.parent.mkdir(parents=True, exist_ok=True)
+    with open(ref, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    task_params = dict(HARD_TASK_DEFAULTS)
+    task_params.update(param_overrides)
+    man = {"task": "c16-hard-standin", "seed": seed, "size": size,
+           "n_train": 2 * n_train_per_class, "n_test": 2 * n_test_per_class,
+           "label_noise": label_noise,
+           "params": {k: list(v) if isinstance(v, tuple) else v
+                      for k, v in task_params.items()},
+           "slides": manifest}
+    (root / "manifest.json").write_text(json.dumps(man, indent=1))
+    return man
+
+
 def slide_to_graph(path: Path, label: int, processor, builder, cache_dir: Path,
                    bucket: int, sort_tag: str = ""):
     """Preprocess one slide into a cached PaddedGraph."""
@@ -128,6 +218,24 @@ def main(argv=None):
                     help="converted DINOv2 npz (scripts/convert_timm_vit.py)")
     ap.add_argument("--synthetic", action="store_true",
                     help="generate stand-in slides and run the full loop")
+    ap.add_argument("--hard", action="store_true",
+                    help="with --synthetic: use the CALIBRATED hard stand-in "
+                         "benchmark (focal lesions vs benign mimics, 3x "
+                         "baseline-density jitter, stain/scanner jitter, "
+                         "5%% train label noise, n_test=128 — oracle AUC "
+                         "0.92, see benchmarks/probe_hard_task.py). This is "
+                         "the gate with statistical power; the legacy "
+                         "--synthetic task saturates at AUC 1.0")
+    ap.add_argument("--n-train-per-class", type=int, default=32)
+    ap.add_argument("--n-test-per-class", type=int, default=64)
+    ap.add_argument("--ab-pretrain", action="store_true",
+                    help="ALSO train a from-scratch variant (0 pretrain "
+                         "epochs, same finetune budget) next to the "
+                         "pretrain->finetune run and report the paired AUC "
+                         "delta — the transfer-benefit gate for the SSL "
+                         "phase (reference two-phase curriculum: "
+                         "/root/reference/dgdm_histopath/training/"
+                         "trainer.py:91-175)")
     ap.add_argument("--out", type=Path, default=Path("c16_eval"))
     ap.add_argument("--config", choices=("base", "large"), default="base")
     ap.add_argument("--bucket", type=int, default=None,
@@ -194,12 +302,19 @@ def main(argv=None):
     if args.synthetic:
         data_root = args.out / "synthetic_data"
         print(f"[eval_c16] generating synthetic stand-in data at {data_root}")
-        generate_synthetic_camelyon16(data_root)
+        if args.hard:
+            generate_synthetic_camelyon16_hard(
+                data_root, n_train_per_class=args.n_train_per_class,
+                n_test_per_class=args.n_test_per_class, seed=args.seed)
+        else:
+            generate_synthetic_camelyon16(data_root)
         bucket = args.bucket or 256
         max_patches = args.max_patches or 256
         patch_size = args.patch_size or 64
         tissue_threshold = 0.3
-        pretrain_epochs = 1 if args.pretrain_epochs is None else args.pretrain_epochs
+        pretrain_epochs = ((4 if args.hard else 1)
+                           if args.pretrain_epochs is None
+                           else args.pretrain_epochs)
         finetune_epochs = 30 if args.finetune_epochs is None else args.finetune_epochs
     else:
         if args.data_root is None:
@@ -280,8 +395,15 @@ def main(argv=None):
 
     import jax.random as jrandom
 
-    def run_variant(tag, extra_kwargs, knn_window):
-        """Preprocess + train + evaluate one (graph-build, model) config."""
+    def run_variant(tag, extra_kwargs, knn_window, pt_epochs=None):
+        """Preprocess + train + evaluate one (graph-build, model) config.
+
+        Returns the metrics dict; stashes the test-set tumor probabilities
+        under ``m["_probs"]`` / labels under ``m["_labels"]`` so variant
+        A/Bs can report PAIRED bootstrap deltas (same resampled slides for
+        both systems) instead of comparing independent CIs.
+        """
+        pt = pretrain_epochs if pt_epochs is None else pt_epochs
         train_graphs, test_graphs = load_graphs(knn_window)
         train_batches = as_batches(train_graphs, tr_idx, args.batch_size)
         val_batches = as_batches(train_graphs, val_idx, args.batch_size)
@@ -292,15 +414,15 @@ def main(argv=None):
         trainer = DGDMTrainer(model, TrainerConfig(
             learning_rate=1e-4 if weights_loaded else 1e-3,
             warmup_steps=min(100, len(train_batches)),
-            max_epochs=pretrain_epochs + finetune_epochs,
-            pretrain_epochs=pretrain_epochs,
+            max_epochs=pt + finetune_epochs,
+            pretrain_epochs=pt,
             steps_per_epoch=len(train_batches)), use_mesh=False)
         trainer.init_state(jrandom.PRNGKey(args.seed), train_batches[0])
         print(f"[eval_c16] [{tag}] finetuning {args.config}: "
-              f"{pretrain_epochs} pretrain + {finetune_epochs} finetune "
+              f"{pt} pretrain + {finetune_epochs} finetune "
               f"epochs x {len(train_batches)} steps")
         fit = trainer.fit(train_batches, val_batches,
-                          max_epochs=pretrain_epochs + finetune_epochs,
+                          max_epochs=pt + finetune_epochs,
                           early_stopping_patience=max(10, finetune_epochs // 3))
         probs, labels = [], []
         for j in range(0, len(test_graphs), args.batch_size):
@@ -314,6 +436,8 @@ def main(argv=None):
         m = compute_classification_metrics(
             np.asarray(labels), np.concatenate(probs, axis=0))
         m["best_val_loss"] = fit["best_val_loss"]
+        m["_probs"] = np.concatenate(probs, axis=0)[:, 1]
+        m["_labels"] = np.asarray(labels)
         print(f"[eval_c16] [{tag}] auc={m.get('auc')} f1={m.get('f1')}")
         if args.ab_int8:
             # same finetuned params, Dense layers on the int8 MXU path —
@@ -337,31 +461,44 @@ def main(argv=None):
             m["f1_int8"] = m8.get("f1")
             m["int8_auc_delta"] = (None if m.get("auc") is None
                                    else round(m8["auc"] - m["auc"], 4))
+            m["_probs_int8"] = np.concatenate(probs8, axis=0)[:, 1]
             print(f"[eval_c16] [{tag}] int8: auc={m8.get('auc')} "
                   f"f1={m8.get('f1')} delta={m['int8_auc_delta']}")
         return m
 
-    # a variant = (tag, model kwargs, graph-build knn_window). The windowed
-    # scaling config pairs the banded model with band-built graphs, so its
-    # banded compute is exact by construction (ops.knn._band_mask).
+    # a variant = (tag, model kwargs, graph-build knn_window, pretrain
+    # override). The windowed scaling config pairs the banded model with
+    # band-built graphs, so its banded compute is exact by construction
+    # (ops.knn._band_mask).
     variants = []
     if args.window is None or args.ab_window:
-        variants.append(("dense", {}, None))
+        variants.append(("dense", {}, None, None))
     if args.window is not None:
         variants.append((f"window{args.window}",
                          {"spatial_window": args.window,
-                          "graph_window": args.window}, args.window))
+                          "graph_window": args.window}, args.window, None))
     if args.moe_experts:
         variants.append((f"moe{args.moe_experts}",
-                         {"moe_experts": args.moe_experts}, None))
-    results = {tag: run_variant(tag, kw, knnw) for tag, kw, knnw in variants}
+                         {"moe_experts": args.moe_experts}, None, None))
+    if args.ab_pretrain:
+        # transfer gate: same finetune budget, no SSL pretraining phase
+        variants.append(("scratch", {}, None, 0))
+    results = {tag: run_variant(tag, kw, knnw, pt)
+               for tag, kw, knnw, pt in variants}
     primary_tag = variants[0][0]
     metrics = results[primary_tag]
     fit = {"best_val_loss": metrics["best_val_loss"]}
 
     target = REFERENCE_TARGETS[args.config]
+    from dgdm_histopath_tpu.evaluation.metrics import (
+        _roc_auc, bootstrap_ci, paired_bootstrap_delta,
+    )
+    labels_t = metrics["_labels"]
+    auc_ci = bootstrap_ci(_roc_auc, labels_t, metrics["_probs"],
+                          n_bootstrap=2000)
     report = {
-        "dataset": "camelyon16-synthetic-standin" if args.synthetic
+        "dataset": ("camelyon16-synthetic-hard" if args.hard
+                    else "camelyon16-synthetic-standin") if args.synthetic
                    else "camelyon16",
         "config": args.config,
         "extractor": arch,
@@ -370,6 +507,7 @@ def main(argv=None):
         "n_train": len(train_items), "n_test": len(test_items),
         "bucket": bucket, "max_patches": max_patches,
         "auc": metrics.get("auc"), "f1": metrics.get("f1"),
+        "auc_ci95": [round(auc_ci["lower"], 4), round(auc_ci["upper"], 4)],
         "accuracy": metrics.get("accuracy"),
         "auc_int8": metrics.get("auc_int8"),
         "int8_auc_delta": metrics.get("int8_auc_delta"),
@@ -389,12 +527,33 @@ def main(argv=None):
             t: {k: r.get(k) for k in ("auc", "f1", "accuracy",
                                       "best_val_loss")}
             for t, r in results.items()}
-        for vtag, _, _ in variants[1:]:
-            if results[vtag].get("auc") is not None and metrics.get("auc"):
+        # paired bootstrap deltas vs the primary variant: both systems are
+        # evaluated on the SAME resampled slide sets, so between-slide
+        # variance cancels and the CI reflects only their disagreement
+        for vtag, _, _, _ in variants[1:]:
+            r = results[vtag]
+            if r.get("auc") is None or metrics.get("auc") is None:
+                continue
+            if vtag == "scratch":
+                d = paired_bootstrap_delta(_roc_auc, labels_t, r["_probs"],
+                                           metrics["_probs"])
+                report["pretrain_auc_uplift"] = {
+                    "delta": round(d["delta"], 4),
+                    "ci95": [round(d["lower"], 4), round(d["upper"], 4)]}
+            else:
+                d = paired_bootstrap_delta(_roc_auc, labels_t,
+                                           metrics["_probs"], r["_probs"])
                 key = ("window_auc_delta_vs_dense"
                        if vtag.startswith("window")
                        else f"{vtag}_auc_delta_vs_dense")
-                report[key] = round(results[vtag]["auc"] - metrics["auc"], 4)
+                report[key] = round(r["auc"] - metrics["auc"], 4)
+                report[key + "_ci95"] = [round(d["lower"], 4),
+                                         round(d["upper"], 4)]
+    if args.ab_int8 and metrics.get("_probs_int8") is not None:
+        d = paired_bootstrap_delta(_roc_auc, labels_t, metrics["_probs"],
+                                   metrics["_probs_int8"])
+        report["int8_auc_delta_ci95"] = [round(d["lower"], 4),
+                                         round(d["upper"], 4)]
     out_path = args.out / "report.json"
     out_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))

@@ -139,6 +139,63 @@ class TestQualityGates:
         assert statuses["nonexistent"] == "unknown"
 
 
+class TestScalableGates:
+    """Cached + parallel gate execution (reference
+    scalable_quality_gates.py:46 ResultCache, :220 DistributedValidator)."""
+
+    GATES = ["imports", "config", "model_construction", "input_validation"]
+
+    def test_cache_serves_second_run(self, tmp_path):
+        from dgdm_histopath_tpu.testing import ScalableQualityGateRunner
+        runner = ScalableQualityGateRunner(
+            level="greenfield", cache_dir=tmp_path, max_workers=1)
+        first = runner.run(self.GATES)
+        assert first["passed"] and first["cache_hits"] == 0
+        second = runner.run(self.GATES)
+        assert second["passed"]
+        assert second["cache_hits"] == len(self.GATES)
+        assert all(g.get("cached") for g in second["gates"])
+        assert second["cache_stats"]["total_entries"] == len(self.GATES)
+
+    def test_source_change_invalidates(self, tmp_path, monkeypatch):
+        from dgdm_histopath_tpu.testing import (
+            GateResultCache, ScalableQualityGateRunner,
+        )
+        runner = ScalableQualityGateRunner(
+            level="greenfield", cache_dir=tmp_path, max_workers=1)
+        runner.run(["imports"])
+        # a different fingerprint (i.e. any source edit) must miss
+        cache = GateResultCache(tmp_path)
+        assert cache.get("imports", "other-fingerprint") is None
+
+    def test_failed_results_not_served(self, tmp_path):
+        from dgdm_histopath_tpu.testing import GateResultCache
+        cache = GateResultCache(tmp_path)
+        cache.put("g", "fp", {"name": "g", "status": "failed",
+                              "duration_s": 0.1, "error": "boom"})
+        assert cache.get("g", "fp") is None
+        assert cache.get("g", "fp", serve_failures=True)["status"] == "failed"
+
+    def test_parallel_run_all_complete(self):
+        from dgdm_histopath_tpu.testing import ScalableQualityGateRunner
+        runner = ScalableQualityGateRunner(level="greenfield", max_workers=4)
+        report = runner.run(self.GATES)
+        assert report["passed"]
+        assert {g["name"] for g in report["gates"]} == set(self.GATES)
+        assert report["parallel_wall_s"] > 0
+
+    def test_cli_flags(self, capsys, tmp_path):
+        from dgdm_histopath_tpu.cli.quality_gates import main
+        rc = main(["--level", "greenfield", "--gates", "imports,config",
+                   "--parallel", "2", "--cache-dir", str(tmp_path)])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0 and out["passed"] is True
+        rc2 = main(["--level", "greenfield", "--gates", "imports,config",
+                    "--cache-dir", str(tmp_path)])
+        out2 = json.loads(capsys.readouterr().out)
+        assert rc2 == 0 and out2["cache_hits"] == 2
+
+
 class TestAutonomousRunner:
     @pytest.mark.slow
     def test_report(self, tmp_path):

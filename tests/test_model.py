@@ -193,6 +193,44 @@ class TestEncoders:
         assert out["embeddings"].shape == (2, 32, 16)
         assert len(out["layer_outputs"]) == 2
 
+    def test_hierarchical_encoder_single_graph(self):
+        """In-model coarsened levels: graph-level output, padding-invariant."""
+        from dgdm_histopath_tpu.models import HierarchicalEncoder
+        g = small_batch(feat_dim=32)
+        enc = HierarchicalEncoder(hidden_dim=16, num_levels=3, num_heads=4,
+                                  dtype=jnp.float32)
+        params = enc.init(jax.random.PRNGKey(0), g.x, g.nbr_idx, g.nbr_mask,
+                          g.node_mask, g.edge_attr)
+        out = enc.apply(params, g.x, g.nbr_idx, g.nbr_mask, g.node_mask,
+                        g.edge_attr)
+        assert out.shape == (2, 16)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # mask-correctness: garbage in padded node slots must not leak
+        x_dirty = g.x + 1e3 * (~g.node_mask[..., None]).astype(g.x.dtype)
+        out_dirty = enc.apply(params, x_dirty, g.nbr_idx, g.nbr_mask,
+                              g.node_mask, g.edge_attr)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_dirty),
+                                   atol=1e-5)
+
+    def test_hierarchical_encoder_per_level_graphs(self):
+        """Reference API parity: distinct per-level graphs (each its own
+        node set/topology, reference models/encoders.py:363-481)."""
+        from dgdm_histopath_tpu.models import HierarchicalEncoder
+        levels = [small_batch(feat_dim=32, n_nodes=32, n_real=24),
+                  small_batch(feat_dim=32, n_nodes=16, n_real=12)]
+        enc = HierarchicalEncoder(hidden_dim=16, num_levels=2, num_heads=4,
+                                  dtype=jnp.float32)
+        args = ([g.x for g in levels], [g.nbr_idx for g in levels],
+                [g.nbr_mask for g in levels], [g.node_mask for g in levels],
+                [g.edge_attr for g in levels])
+        params = enc.init(jax.random.PRNGKey(0), *args)
+        out = enc.apply(params, *args)
+        assert out.shape == (2, 16)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # wrong level count is a config error, not silent truncation
+        with pytest.raises(ValueError):
+            enc.init(jax.random.PRNGKey(0), *([a[:1] for a in args]))
+
 
 class TestHeads:
     def test_classification_head_loss(self):
