@@ -498,6 +498,101 @@ class TiledTiffReader:
 # writer (fixtures / golden tests / export)
 # ---------------------------------------------------------------------------
 
+class StreamingTiledTiffWriter:
+    """Incremental tiled-TIFF writer: tile payloads stream to disk as they
+    are produced, IFDs are assembled at :meth:`close`.
+
+    ``write_tiled_tiff`` needs every pyramid level in RAM (a 24.5k-px
+    level 0 is ~1.8 GB); this writer is O(tile) — the JPEG-tiled BigTIFF
+    fixture path for the e2e benchmark (real .svs container, VERDICT r3
+    #6) renders gigapixel slides band-by-band on the accelerator and
+    streams the encoded tiles straight out.
+
+    Tiles may interleave across levels arbitrarily, but must arrive
+    row-major WITHIN each level (the order ``write_tile`` is called is the
+    order offsets are recorded).
+    """
+
+    def __init__(self, path: str | Path, level_dims: Sequence[Tuple[int, int]],
+                 tile: int = 256, compression: str = "jpeg",
+                 bigtiff: bool = True, jpeg_quality: int = 90,
+                 description: str = ""):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.tile = tile
+        self.comp_id = {"raw": 1, "lzw": 5, "deflate": 8,
+                        "jpeg": 7}[compression]
+        self.jpeg_quality = jpeg_quality
+        self.bigtiff = bigtiff
+        self.description = description
+        self.level_dims = [(int(h), int(w)) for h, w in level_dims]
+        self._offsets: List[List[int]] = [[] for _ in self.level_dims]
+        self._counts: List[List[int]] = [[] for _ in self.level_dims]
+        self._tmp = self.path.with_name(self.path.name + ".tmp")
+        self._f = open(self._tmp, "wb+")
+        if bigtiff:
+            self._f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, 0))
+            self._first_ifd_pos = 8
+        else:
+            self._f.write(b"II" + struct.pack("<HI", 42, 0))
+            self._first_ifd_pos = 4
+
+    def expected_tiles(self, level: int) -> int:
+        h, w = self.level_dims[level]
+        return ((w + self.tile - 1) // self.tile) * (
+            (h + self.tile - 1) // self.tile)
+
+    def encode(self, block: np.ndarray) -> bytes:
+        block = np.asarray(block, np.uint8)
+        if block.shape != (self.tile, self.tile, 3):
+            padded = np.zeros((self.tile, self.tile, 3), np.uint8)
+            padded[:block.shape[0], :block.shape[1]] = block
+            block = padded
+        if self.comp_id == 1:
+            return block.tobytes()
+        if self.comp_id == 8:
+            return zlib.compress(block.tobytes(), 6)
+        if self.comp_id == 5:
+            return _lzw_encode(block.tobytes())
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(block).save(buf, "JPEG", quality=self.jpeg_quality)
+        return buf.getvalue()
+
+    def write_tile(self, level: int, block: np.ndarray) -> None:
+        payload = self.encode(block)
+        self._offsets[level].append(self._f.tell())
+        self._counts[level].append(len(payload))
+        self._f.write(payload)
+
+    def close(self) -> Path:
+        import os
+        f, endian = self._f, "<"
+        off_t = "Q" if self.bigtiff else "I"
+        ifd_offsets = []
+        for lvl, (h, w) in enumerate(self.level_dims):
+            n_exp = self.expected_tiles(lvl)
+            if len(self._offsets[lvl]) != n_exp:
+                raise TiffFormatError(
+                    f"level {lvl}: got {len(self._offsets[lvl])} tiles, "
+                    f"expected {n_exp}")
+            ifd_offsets.append(_write_ifd(
+                f, endian, self.bigtiff, w, h, self.tile, self.comp_id,
+                self._offsets[lvl], self._counts[lvl],
+                self.description if lvl == 0 else ""))
+        prev_next_field = self._first_ifd_pos
+        for ifd_off in ifd_offsets:
+            f.seek(prev_next_field)
+            f.write(struct.pack(endian + off_t, ifd_off))
+            prev_next_field = _ifd_next_field_pos(f, endian, self.bigtiff,
+                                                  ifd_off)
+        f.seek(prev_next_field)
+        f.write(struct.pack(endian + off_t, 0))
+        f.close()
+        os.replace(self._tmp, self.path)
+        return self.path
+
+
 def write_tiled_tiff(
     path: str | Path,
     levels: Sequence[np.ndarray],

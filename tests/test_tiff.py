@@ -109,6 +109,72 @@ class TestTiffRoundtrip:
         r.close()
 
 
+class TestStreamingWriter:
+    """StreamingTiledTiffWriter: O(band) gigapixel fixture path (the JPEG
+    .svs container for the e2e benchmark, VERDICT r3 #6)."""
+
+    def test_streamed_equals_inmemory_raw(self, tmp_path):
+        from dgdm_histopath_tpu.preprocessing.tiff import (
+            StreamingTiledTiffWriter,
+        )
+        levels = _pyramid(w=512, h=384, levels=2)
+        p_mem = write_tiled_tiff(tmp_path / "mem.tiff", levels, tile=256,
+                                 compression="raw", bigtiff=True)
+        wr = StreamingTiledTiffWriter(
+            tmp_path / "stream.tiff",
+            [(lvl.shape[0], lvl.shape[1]) for lvl in levels],
+            tile=256, compression="raw", bigtiff=True)
+        for li, lvl in enumerate(levels):
+            for ty in range(0, lvl.shape[0], 256):
+                for tx in range(0, lvl.shape[1], 256):
+                    wr.write_tile(li, lvl[ty:ty + 256, tx:tx + 256])
+        p_str = wr.close()
+        ra, rb = TiledTiffReader(p_mem), TiledTiffReader(p_str)
+        assert ra.level_dimensions == rb.level_dimensions
+        for li, lvl in enumerate(levels):
+            a = ra.read_region_level(li, 0, 0, lvl.shape[1], lvl.shape[0])
+            b = rb.read_region_level(li, 0, 0, lvl.shape[1], lvl.shape[0])
+            np.testing.assert_array_equal(a, b)
+        ra.close(), rb.close()
+
+    def test_missing_tiles_rejected(self, tmp_path):
+        from dgdm_histopath_tpu.preprocessing.tiff import (
+            StreamingTiledTiffWriter, TiffFormatError,
+        )
+        wr = StreamingTiledTiffWriter(tmp_path / "bad.tiff", [(512, 512)],
+                                      tile=256)
+        wr.write_tile(0, np.zeros((256, 256, 3), np.uint8))
+        with pytest.raises(TiffFormatError):
+            wr.close()
+
+    def test_synthetic_jpeg_svs_fixture(self, tmp_path):
+        """Device-free render -> JPEG .svs -> native reader -> PSNR vs the
+        exact numpy ground truth of the same band render."""
+        from dgdm_histopath_tpu.preprocessing.slide_io import open_slide
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            _make_blobs, _render_band_numpy, write_synthetic_slide_tiff,
+        )
+        p = write_synthetic_slide_tiff(
+            tmp_path / "fix.svs", width=1024, height=1024, num_levels=3,
+            band=256, seed=5, nuclei_density=2e-3, num_blobs=6,
+            device="numpy")
+        b = open_slide(p)
+        assert type(b).__name__ == "TiledTiffBackend"
+        assert b.level_dimensions == [(1024, 1024), (512, 512), (256, 256)]
+        assert b.properties["openslide.objective-power"] == "20"
+        got = np.asarray(b.read_region((0, 0), 0, (1024, 256)),
+                         np.float32)
+        rs = np.random.RandomState(5)
+        blobs = _make_blobs(rs, 1024, 1024, 6)
+        coarse = rs.rand(1024 // 32 + 2, 1024 // 32 + 2).astype(np.float32)
+        truth = _render_band_numpy(0, 256, 1024, 1, blobs, coarse, 2e-3,
+                                   5)[0].astype(np.float32)
+        mse = float(np.mean((got - truth) ** 2))
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr > 30.0, psnr  # JPEG q85: lossy but faithful
+        b.close()
+
+
 class TestAperioProperties:
     def test_parse(self):
         desc = ("Aperio Image Library v10.0.50\r\n20000x15000 [0,0] "
