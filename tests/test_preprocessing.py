@@ -353,3 +353,58 @@ class TestHDF5Slide:
         loop = np.stack([proc.extract_patch(slide, i) for i in infos])
         np.testing.assert_array_equal(batch, loop)
         slide.close()
+
+
+class TestHardTaskGenerator:
+    """Calibrated hard stand-in task components (VERDICT r3 #1):
+    focal-lesion rendering + the shared parameter sampler."""
+
+    def test_focal_region_densifies_nuclei(self):
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            generate_tissue_image,
+        )
+        # strong focus so the count contrast is unambiguous
+        img, _ = generate_tissue_image(
+            512, 512, seed=3, nuclei_density=0.001, focal_density=0.02,
+            focal_frac=0.15, noise_sigma=0.0)
+        base, _ = generate_tissue_image(
+            512, 512, seed=3, nuclei_density=0.001, noise_sigma=0.0)
+        def nuclei_px(im):
+            f = im.astype(np.float32)
+            return int(((f[..., 2] > f[..., 0] + 10)
+                        & (f.mean(-1) < 180)).sum())
+        assert nuclei_px(img) > 2.0 * nuclei_px(base)
+
+    def test_sampler_deterministic_and_contrast_ordering(self):
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            HARD_TASK_DEFAULTS, sample_hard_slide_params,
+        )
+        a = sample_hard_slide_params(np.random.RandomState(7), True, seed=1)
+        b = sample_hard_slide_params(np.random.RandomState(7), True, seed=1)
+        assert a == b
+        lo, hi = HARD_TASK_DEFAULTS["base_density"]
+        tum = [sample_hard_slide_params(np.random.RandomState(i), True)
+               for i in range(40)]
+        nrm = [sample_hard_slide_params(np.random.RandomState(i), False)
+               for i in range(40)]
+        for p in tum + nrm:
+            assert lo <= p["nuclei_density"] <= hi
+        # lesion contrast strictly separates from mimic contrast per-slide
+        t_lo = min(p["focal_density"] / p["nuclei_density"] for p in tum)
+        n_hi = max(p["focal_density"] / p["nuclei_density"] for p in nrm)
+        assert t_lo >= HARD_TASK_DEFAULTS["lesion_contrast"][0] - 1e-9
+        assert n_hi <= HARD_TASK_DEFAULTS["mimic_contrast"][1] + 1e-9
+
+    def test_probe_oracle_scores_rank_obvious_pair(self):
+        from benchmarks.probe_hard_task import oracle_slide_score
+        from dgdm_histopath_tpu.preprocessing.synthetic import (
+            generate_tissue_image,
+        )
+        lesion, _ = generate_tissue_image(
+            512, 512, seed=11, nuclei_density=0.004, focal_density=0.016,
+            focal_frac=0.12, stain_jitter=0.1, brightness_jitter=0.05)
+        flat, _ = generate_tissue_image(
+            512, 512, seed=11, nuclei_density=0.004, stain_jitter=0.1,
+            brightness_jitter=0.05)
+        assert (oracle_slide_score(lesion, patch=64)
+                > oracle_slide_score(flat, patch=64))
