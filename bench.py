@@ -151,7 +151,8 @@ def _enable_compile_cache():
 
 def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
                  nodes, n_real, batch, n_iters=30,
-                 use_spatial=True, use_hier=True, **model_overrides):
+                 use_spatial=True, use_hier=True, phase="pretrain",
+                 trainer_overrides=None, **model_overrides):
     import jax
     import jax.numpy as jnp
     _enable_compile_cache()
@@ -187,7 +188,7 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
     trainer = DGDMTrainer(
         model,
         TrainerConfig(learning_rate=1e-4, warmup_steps=10, pretrain_epochs=10,
-                      steps_per_epoch=100),
+                      steps_per_epoch=100, **(trainer_overrides or {})),
         use_mesh=len(jax.devices()) > 1,
     )
     trainer.init_state(jax.random.PRNGKey(0), batch_g)
@@ -200,7 +201,7 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
 
     # AOT: lower+compile once, read the cost model from the SAME executable
     # we time (no second tunnel compile, no invented FLOPs)
-    jitted = trainer._get_step_fn("pretrain", batch_g)
+    jitted = trainer._get_step_fn(phase, batch_g)
     lowered = jitted.lower(trainer.state, batch_g)
     compiled = lowered.compile()
     flops_ca = None
@@ -237,7 +238,7 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
             use_mesh=trainer.mesh is not None,
         )
         trainer_xla.state = trainer.state     # same param tree; compute differs
-        lowered_xla = trainer_xla._get_step_fn("pretrain", batch_g).lower(
+        lowered_xla = trainer_xla._get_step_fn(phase, batch_g).lower(
             trainer.state, batch_g)
         flops_model = matmul_flops_from_stablehlo(lowered_xla)
     except Exception:
@@ -519,6 +520,42 @@ def main():
                          "graphs_per_s": r["value"], "mfu": r["mfu"]})
             print(json.dumps(rows[-1]), file=sys.stderr)
         print(json.dumps({"metric": "ablation_base_b32", "rows": rows}))
+        return
+    if "--ablate-floor" in sys.argv:
+        # split of the 27.9 ms encoder_only floor (add.15) + the windowed
+        # combined step: where does non-attention time live (diffusion scan
+        # depth, contrastive N^2 loss, banded adjacency), and what does the
+        # supervised finetune step cost (the serving-relevant step)? All
+        # paired in one process per add.7.
+        rows = []
+        for tag, kw in (
+            ("encoder_only", dict(use_spatial=False, use_hier=False)),
+            ("enc_no_contrastive", dict(
+                use_spatial=False, use_hier=False,
+                trainer_overrides={"use_contrastive_loss": False})),
+            ("enc_diffsteps1", dict(use_spatial=False, use_hier=False,
+                                    num_steps=1)),
+            ("enc_band64", dict(use_spatial=False, use_hier=False,
+                                graph_window=64)),
+            ("combined_w64", dict(spatial_window=64, graph_window=64)),
+            ("combined_w64_no_contrastive", dict(
+                spatial_window=64, graph_window=64,
+                trainer_overrides={"use_contrastive_loss": False})),
+            ("full_finetune", dict(phase="finetune")),
+            ("combined_w64_finetune", dict(spatial_window=64,
+                                           graph_window=64,
+                                           phase="finetune")),
+        ):
+            kw.setdefault("num_steps", 10)
+            r = bench_config(f"floor_{tag}", node_features=768,
+                             hidden_dims=(512, 256, 128),
+                             heads=8, layers=4, nodes=1024, n_real=1000,
+                             batch=32, n_iters=20, **kw)
+            rows.append({"tag": tag, "step_ms": r["step_time_ms"],
+                         "graphs_per_s": r["value"], "mfu": r["mfu"],
+                         "mfu_model_math": r.get("mfu_model_math")})
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({"metric": "ablation_floor_base_b32", "rows": rows}))
         return
     if "--ab-attn-traffic" in sys.argv:
         # whole-program A/B of spatial attention's HBM-buffer dtype: f32

@@ -448,12 +448,20 @@ class DGDMTrainer:
         train_logger=None,
         preemption_guard=None,
         start_step_in_epoch: int = 0,
+        restore_best_params: bool = False,
     ) -> Dict[str, Any]:
         """Epoch loop with two-phase curriculum, validation, checkpointing,
         early stopping (reference cli/train.py:304-330 callbacks).
 
         ``train_logger``: optional ``TrainLogger`` — receives every epoch
         summary (reference logs scalars to TB/W&B, trainer.py:116-127).
+
+        ``restore_best_params``: keep a host-side copy of the params at the
+        best validation loss and restore them into ``self.state`` when the
+        loop ends (the reference tracks the best checkpoint via Lightning's
+        ``ModelCheckpoint(monitor="val_loss")``, cli/train.py:308-317 —
+        without this, an early-stopped run predicts with the LAST params,
+        i.e. ``patience`` epochs past the best model).
 
         ``preemption_guard``: optional :class:`PreemptionGuard` — when it
         trips (SIGTERM / manual trigger), the loop stops at the next step
@@ -466,6 +474,7 @@ class DGDMTrainer:
         """
         max_epochs = max_epochs or self.config.max_epochs
         best_val = float("inf")
+        best_params = None
         patience = 0
         first_epoch = self.current_epoch
         interrupted = False
@@ -550,6 +559,8 @@ class DGDMTrainer:
                                             metric=summary["val_loss"])
                 if summary["val_loss"] < best_val - 1e-6:
                     best_val = summary["val_loss"]
+                    if restore_best_params:
+                        best_params = jax.device_get(self.state.params)
                     patience = 0
                 else:
                     patience += 1
@@ -569,6 +580,9 @@ class DGDMTrainer:
             # saves are async (checkpoint.py): drain the last one before
             # returning so the final checkpoint is durable at fit() exit
             checkpoint_manager.wait_until_finished()
+        if restore_best_params and best_params is not None and not interrupted:
+            self.state = self.place_state(
+                self.state.replace(params=best_params))
         result: Dict[str, Any] = {"history": self.history,
                                   "best_val_loss": best_val,
                                   "interrupted": interrupted}

@@ -250,6 +250,9 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--pretrain-epochs", type=int, default=None)
     ap.add_argument("--finetune-epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="peak learning rate (default: 1e-4 with pretrained "
+                         "ViT weights, 1e-3 otherwise)")
     ap.add_argument("--extractor", default=None,
                     help="patch featurizer arch (default: dinov2; synthetic "
                          "staging defaults to simple_cnn so the smoke loop "
@@ -405,25 +408,35 @@ def main(argv=None):
         """
         pt = pretrain_epochs if pt_epochs is None else pt_epochs
         train_graphs, test_graphs = load_graphs(knn_window)
-        train_batches = as_batches(train_graphs, tr_idx, args.batch_size)
+        # epoch-reshuffled training batches (reference DataLoader(shuffle=
+        # True), data/datamodule.py:173-197); val/test stay fixed
+        from dgdm_histopath_tpu.data.datamodule import BucketedLoader
+        train_loader = BucketedLoader([train_graphs[i] for i in tr_idx],
+                                      args.batch_size, shuffle=True,
+                                      seed=args.seed)
+        n_train_batches = len(train_loader)
         val_batches = as_batches(train_graphs, val_idx, args.batch_size)
         model = DGDMModel(node_features=extractor.feature_dim,
                           hidden_dims=hidden, attention_heads=heads,
                           num_diffusion_steps=steps, graph_layers=4,
                           num_classes=2, pooling="attention", **extra_kwargs)
+        lr = args.lr or (1e-4 if weights_loaded else 1e-3)
         trainer = DGDMTrainer(model, TrainerConfig(
-            learning_rate=1e-4 if weights_loaded else 1e-3,
-            warmup_steps=min(100, len(train_batches)),
+            learning_rate=lr,
+            warmup_steps=min(100, n_train_batches),
             max_epochs=pt + finetune_epochs,
             pretrain_epochs=pt,
-            steps_per_epoch=len(train_batches)), use_mesh=False)
-        trainer.init_state(jrandom.PRNGKey(args.seed), train_batches[0])
+            steps_per_epoch=n_train_batches), use_mesh=False)
+        example = batch_graphs(
+            [train_graphs[i] for i in tr_idx[:args.batch_size]])
+        trainer.init_state(jrandom.PRNGKey(args.seed), example)
         print(f"[eval_c16] [{tag}] finetuning {args.config}: "
               f"{pt} pretrain + {finetune_epochs} finetune "
-              f"epochs x {len(train_batches)} steps")
-        fit = trainer.fit(train_batches, val_batches,
+              f"epochs x {n_train_batches} steps, lr={lr}")
+        fit = trainer.fit(train_loader, val_batches,
                           max_epochs=pt + finetune_epochs,
-                          early_stopping_patience=max(10, finetune_epochs // 3))
+                          early_stopping_patience=max(10, finetune_epochs // 3),
+                          restore_best_params=True)
         probs, labels = [], []
         for j in range(0, len(test_graphs), args.batch_size):
             chunk = test_graphs[j:j + args.batch_size]

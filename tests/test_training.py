@@ -185,6 +185,29 @@ class TestTrainerSteps:
         assert result["history"][1]["phase"] == "finetune"
         assert np.isfinite(result["best_val_loss"])
 
+    @pytest.mark.slow
+    def test_fit_restore_best_params(self):
+        # with restore_best_params=True, fit() must leave self.state holding
+        # the params from the best-val epoch, not the last epoch (reference
+        # ModelCheckpoint(monitor="val_loss") semantics, cli/train.py:308-317)
+        model = tiny_model(num_classes=2)
+        trainer = DGDMTrainer(model, TrainerConfig(
+            learning_rate=5e-2, warmup_steps=1, max_epochs=6,
+            pretrain_epochs=0, scheduler_type="none",
+            steps_per_epoch=2), use_mesh=False)
+        train = [tiny_batch(2, num_classes=2, seed0=i * 10) for i in range(2)]
+        val = [tiny_batch(2, num_classes=2, seed0=100)]
+        trainer.init_state(jax.random.PRNGKey(0), train[0])
+        result = trainer.fit(train, val, max_epochs=6,
+                             early_stopping_patience=100,
+                             restore_best_params=True)
+        # re-evaluating with the restored params must reproduce the best
+        # val loss, not the final epoch's
+        out = trainer.validation_step(val[0], epoch=6)
+        assert abs(float(out["loss"]) - result["best_val_loss"]) < 1e-4
+        val_curve = [h["val_loss"] for h in result["history"]]
+        assert result["best_val_loss"] <= min(val_curve) + 1e-6
+
 
 @pytest.mark.integration
 class TestDataParallel:
