@@ -29,6 +29,47 @@ Dtype = jnp.dtype
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# dimensionality of stain_stat_features (any arch + "+stats" suffix)
+STAIN_STATS_DIM = 14
+
+
+def stain_stat_features(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-patch H&E stain-deconvolution statistics ``[B, 14]``.
+
+    Deterministic, weight-independent morphometric descriptors: project each
+    pixel's optical density onto the published Macenko H&E stain basis and
+    summarize the hematoxylin/eosin concentration distributions (mean, std,
+    p50/p90/p99, high-concentration pixel fractions — a nuclei-density proxy
+    — plus grayscale mean/std). The reference falls back to 5-d intensity
+    placeholder features when patch images are unavailable
+    (``tissue_graph_builder.py:234-252``); this is the on-device analogue,
+    appended to (rather than replacing) the learned embedding so graphs stay
+    informative when no pretrained backbone weights are present.
+
+    ``x``: float ``[B, S, S, 3]`` in [0, 255].
+    """
+    from ..preprocessing.stain_normalization import (
+        DEFAULT_STAIN_MATRIX, rgb_to_od,
+    )
+    b = x.shape[0]
+    flat = x.reshape(b, -1, 3)
+    od = rgb_to_od(flat)                                    # [B, P, 3]
+    pinv = jnp.asarray(np.linalg.pinv(DEFAULT_STAIN_MATRIX))  # [2, 3]
+    conc = jnp.einsum("sc,bpc->bps", pinv, od)              # [B, P, 2]
+    h, e = conc[..., 0], conc[..., 1]
+    gray = jnp.mean(flat, -1) / 255.0                       # [B, P]
+    qs = jnp.asarray([0.5, 0.9, 0.99])
+    hq = jnp.quantile(h, qs, axis=-1).T                     # [B, 3]
+    eq = jnp.quantile(e, qs, axis=-1).T
+    one = lambda v: v[..., None]  # noqa: E731
+    stats = jnp.concatenate([
+        one(h.mean(-1)), one(h.std(-1)), hq,
+        one(e.mean(-1)), one(e.std(-1)), eq,
+        one((h > 0.6).mean(-1)), one((h > 1.0).mean(-1)),
+        one(gray.mean(-1)), one(gray.std(-1)),
+    ], axis=-1)
+    return stats.astype(jnp.float32)
+
 
 class TransformerBlock(nn.Module):
     dim: int
@@ -201,12 +242,19 @@ class PatchFeatureExtractor:
                  stain_stats_pixels: int = 4096,
                  host_resize_upload: bool = False,
                  quant: Optional[str] = None):
+        # "<arch>+stats" appends deterministic H&E stain-deconvolution
+        # statistics (stain_stat_features) to every embedding
+        self.append_stain_stats = arch.endswith("+stats")
+        if self.append_stain_stats:
+            arch = arch[: -len("+stats")]
         if arch not in _ARCHS:
             # reference treats unknown extractors ("ctp"/"hipt") as fallbacks
             # (tissue_graph_builder.py:129-137)
             arch = "dinov2"
-        self.arch = arch
+        self.arch = arch + ("+stats" if self.append_stain_stats else "")
         kwargs, self.feature_dim = _ARCHS[arch]
+        if self.append_stain_stats:
+            self.feature_dim += STAIN_STATS_DIM
         self.batch_size = batch_size
         self.image_size = image_size
         # resize patches to image_size on the HOST before upload: on a
@@ -271,6 +319,7 @@ class PatchFeatureExtractor:
             x = jax.vmap(lambda img: _macenko_normalize_single(
                 img, ref_s, ref_c, self.stain_alpha,
                 self.stain_stats_pixels))(x)
+        stats = (stain_stat_features(x) if self.append_stain_stats else None)
         if x.shape[1] != self.image_size:
             x = jax.image.resize(
                 x, (x.shape[0], self.image_size, self.image_size, 3),
@@ -281,8 +330,13 @@ class PatchFeatureExtractor:
             # `params` here is the pre-quantized tree (see dispatch): int8
             # kernels upload/cache at half the f32 bytes
             from .vit_int8 import vit_int8_forward
-            return vit_int8_forward(params, x)
-        return self.module.apply(params, x)
+            feats = vit_int8_forward(params, x)
+        else:
+            feats = self.module.apply(params, x)
+        if stats is not None:
+            feats = jnp.concatenate(
+                [feats.astype(jnp.float32), stats], axis=-1)
+        return feats
 
     def extract(self, patches: np.ndarray) -> np.ndarray:
         """Featurize all patches in fixed-size padded device batches."""

@@ -369,6 +369,9 @@ def main(argv=None):
                                      spatial_sort=knn_window is not None,
                                      knn_window=knn_window)
         tag = f"_w{knn_window}" if knn_window else ""
+        default_arch = "simple_cnn" if args.synthetic else "dinov2"
+        if arch != default_arch:  # distinct features -> distinct cache
+            tag += "_" + arch.replace("+", "-")
         print("[eval_c16] preprocessing slides -> graphs "
               f"(bucket={bucket}, knn_window={knn_window}, "
               f"cache={cache_dir})")

@@ -207,6 +207,48 @@ class TestConverter:
         assert real == 3 and feats.shape[0] == 4
         assert np.isfinite(np.asarray(feats)).all()
 
+    def test_stain_stats_separate_nuclei_density(self):
+        """The '+stats' feature channel (stain_stat_features) must rank a
+        dense-nuclei patch above a sparse one on the hematoxylin
+        high-concentration fraction — the nuclei-density signal the hard
+        accuracy benchmark's oracle uses (benchmarks/probe_hard_task.py).
+        Reference analogue: intensity placeholder features when images are
+        absent (tissue_graph_builder.py:234-252)."""
+        import jax.numpy as jnp
+        from dgdm_histopath_tpu.models.vit import (
+            STAIN_STATS_DIM, stain_stat_features,
+        )
+        rs = np.random.RandomState(0)
+
+        def patch(n_nuclei):
+            img = np.full((64, 64, 3), 235, np.float32)  # eosin-pink bg
+            img[..., 1] = 210
+            for _ in range(n_nuclei):
+                cy, cx = rs.randint(4, 60, 2)
+                img[cy - 2:cy + 2, cx - 2:cx + 2] = (80, 60, 140)  # basophilic
+            return img
+
+        dense = patch(120)
+        sparse = patch(10)
+        stats = stain_stat_features(jnp.stack([dense, sparse]))
+        assert stats.shape == (2, STAIN_STATS_DIM)
+        assert np.isfinite(np.asarray(stats)).all()
+        h_frac = np.asarray(stats[:, 10])  # frac(H > 0.6)
+        assert h_frac[0] > h_frac[1] + 0.05
+
+    def test_extractor_stats_suffix_appends_dims(self):
+        from dgdm_histopath_tpu.models.vit import (
+            STAIN_STATS_DIM, PatchFeatureExtractor, _ARCHS,
+        )
+        ext = PatchFeatureExtractor(arch="simple_cnn+stats", batch_size=4,
+                                    image_size=32)
+        base_dim = _ARCHS["simple_cnn"][1]
+        assert ext.feature_dim == base_dim + STAIN_STATS_DIM
+        feats, real = ext.dispatch(np.random.RandomState(3).randint(
+            0, 255, (3, 32, 32, 3)).astype(np.uint8))
+        assert feats.shape == (4, ext.feature_dim)
+        assert np.isfinite(np.asarray(feats)).all()
+
     def test_host_resize_commutes_with_stain_norm(self):
         """With host_resize_upload + device stain norm the pipeline applies
         norm∘resize instead of the reference's resize∘norm; on realistic
