@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--scheduler", default="cosine",
                     choices=("cosine", "onecycle", "none"))
     ap.add_argument("--eval-every", type=int, default=2)
+    ap.add_argument("--cache-tag", default="",
+                    help="graph-cache filename suffix, e.g. "
+                    "'_simple_cnn-stats' to train on the +stats featurizer "
+                    "caches (eval_camelyon16 --extractor simple_cnn+stats)")
     ap.add_argument("--tag", default="probe")
     ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args(argv)
@@ -66,7 +70,7 @@ def main(argv=None):
     cache = args.root / "graph_cache"
     train, test = [], []
     for s in man["slides"]:
-        p = cache / f"{s['slide']}_b256.npz"
+        p = cache / f"{s['slide']}_b256{args.cache_tag}.npz"
         if not p.exists():
             raise SystemExit(f"missing cached graph {p} — run "
                              "scripts/eval_camelyon16.py --synthetic --hard "
