@@ -176,6 +176,12 @@ _ARCHS = {
                         layer_scale=True), 768),
     "vit_small": (dict(embed_dim=384, depth=12, num_heads=6, patch_size=16), 384),
     "simple_cnn": (None, 512),
+    # pure deterministic stain-morphometry features (stain_stat_features):
+    # the principled zero-weights analogue of the reference's 5-d intensity
+    # fallback (tissue_graph_builder.py:234-252). Unlike random-init encoder
+    # embeddings these carry real signal (nuclei-density proxies), so they
+    # are the right staging featurizer when no pretrained backbone exists.
+    "stats": (None, STAIN_STATS_DIM),
 }
 
 
@@ -271,7 +277,12 @@ class PatchFeatureExtractor:
         self.stain_normalize_on_device = stain_normalize_on_device
         self.stain_alpha = stain_alpha
         self.stain_stats_pixels = stain_stats_pixels
-        if arch == "simple_cnn":
+        if arch == "stats":
+            self.module = None
+            if quant:
+                raise ValueError("quant='int8' requires a ViT arch "
+                                 "(stats has no weights to quantize)")
+        elif arch == "simple_cnn":
             self.module = SimpleConvEncoder()
             if quant:
                 raise ValueError("quant='int8' requires a ViT arch "
@@ -281,14 +292,16 @@ class PatchFeatureExtractor:
         if quant not in (None, "int8"):
             raise ValueError(f"unknown quant mode {quant!r} (None or 'int8')")
         self.quant = quant
-        self.weights_loaded = params is not None
-        if params is None:
+        # the stats arch is weight-free and deterministic — never "random init"
+        self.weights_loaded = params is not None or self.module is None
+        if params is None and self.module is not None:
             dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
             params = self.module.init(jax.random.PRNGKey(seed), dummy)
-        self.params = params
+        self.params = params if params is not None else {}
         self._refresh_quant_params()
         self._warned_random_init = False
-        self._apply = jax.jit(lambda p, x: self.module.apply(p, x))
+        self._apply = (jax.jit(lambda p, x: self.module.apply(p, x))
+                       if self.module is not None else None)
         self._fused = jax.jit(self._fused_forward)
 
     def _refresh_quant_params(self) -> None:
@@ -319,6 +332,8 @@ class PatchFeatureExtractor:
             x = jax.vmap(lambda img: _macenko_normalize_single(
                 img, ref_s, ref_c, self.stain_alpha,
                 self.stain_stats_pixels))(x)
+        if self.module is None:  # arch == "stats": deterministic features only
+            return stain_stat_features(x)
         stats = (stain_stat_features(x) if self.append_stain_stats else None)
         if x.shape[1] != self.image_size:
             x = jax.image.resize(

@@ -52,6 +52,7 @@ class TissueGraphBuilder:
         extractor: Optional[PatchFeatureExtractor] = None,
         spatial_sort: bool = False,
         knn_window: Optional[int] = None,
+        per_slide_feature_norm: bool = False,
     ):
         self.k_spatial = k_spatial
         self.k_morphological = k_morphological
@@ -75,6 +76,14 @@ class TissueGraphBuilder:
         if knn_window is not None and not spatial_sort:
             raise ValueError("knn_window requires spatial_sort=True")
         self.knn_window = knn_window
+        # z-score node features within each slide (robust center: median).
+        # Slide-level staining/scanner shifts move ABSOLUTE feature values
+        # ~3x across slides while diagnostic signal is the WITHIN-slide
+        # contrast of focal regions against the slide's own baseline — the
+        # same per-slide reference the reference's Macenko fit_to_template
+        # normalization approximates in pixel space
+        # (stain_normalization.py; reference preprocessing pipeline).
+        self.per_slide_feature_norm = per_slide_feature_norm
 
     @property
     def extractor(self) -> Optional[PatchFeatureExtractor]:
@@ -141,6 +150,10 @@ class TissueGraphBuilder:
             else:
                 features = self.extract_patch_features(slide_data.patches)
         features = np.asarray(features, np.float32)
+        if self.per_slide_feature_norm:
+            # applied pre-padding: every row is a real node here
+            features = ((features - np.median(features, axis=0))
+                        / (features.std(axis=0) + 1e-6))
 
         target = bucket if bucket is not None else pick_bucket(n, self.node_buckets)
         if n > target:

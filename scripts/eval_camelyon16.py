@@ -256,7 +256,21 @@ def main(argv=None):
     ap.add_argument("--extractor", default=None,
                     help="patch featurizer arch (default: dinov2; synthetic "
                          "staging defaults to simple_cnn so the smoke loop "
-                         "stays CI-sized)")
+                         "stays CI-sized; 'stats' = deterministic 14-d "
+                         "stain-morphometry features — the informative "
+                         "zero-weights choice for staging runs)")
+    ap.add_argument("--per-slide-norm", action="store_true",
+                    help="z-score node features within each slide "
+                         "(TissueGraphBuilder(per_slide_feature_norm=True)): "
+                         "exposes within-slide focal contrast under cross-"
+                         "slide stain/density shifts")
+    ap.add_argument("--hidden", default=None,
+                    help="override model hidden dims, comma-separated "
+                         "(default: config geometry; the calibrated hard "
+                         "gate uses 256,128,64 — 96 train slides overfit "
+                         "the full Base geometry)")
+    ap.add_argument("--dropout", type=float, default=None,
+                    help="override model dropout (default 0.1)")
     ap.add_argument("--window", type=int, default=None,
                     help="run the windowed scaling config: spatial_window + "
                          "graph_window = W in the model, graphs Morton-"
@@ -367,11 +381,14 @@ def main(argv=None):
         builder = TissueGraphBuilder(extractor=extractor,
                                      node_buckets=(bucket,),
                                      spatial_sort=knn_window is not None,
-                                     knn_window=knn_window)
+                                     knn_window=knn_window,
+                                     per_slide_feature_norm=args.per_slide_norm)
         tag = f"_w{knn_window}" if knn_window else ""
         default_arch = "simple_cnn" if args.synthetic else "dinov2"
         if arch != default_arch:  # distinct features -> distinct cache
             tag += "_" + arch.replace("+", "-")
+        if args.per_slide_norm:   # distinct features -> distinct cache
+            tag += "_psn"
         print("[eval_c16] preprocessing slides -> graphs "
               f"(bucket={bucket}, knn_window={knn_window}, "
               f"cache={cache_dir})")
@@ -389,6 +406,8 @@ def main(argv=None):
         hidden, heads, steps = (768, 512, 256, 128), 16, 20
     else:                       # configs/dgdm_base.yaml geometry
         hidden, heads, steps = (512, 256, 128), 8, 10
+    if args.hidden is not None:
+        hidden = tuple(int(h) for h in args.hidden.split(","))
 
     rng = np.random.RandomState(args.seed)
     order = rng.permutation(len(train_items))
@@ -419,6 +438,8 @@ def main(argv=None):
                                       seed=args.seed)
         n_train_batches = len(train_loader)
         val_batches = as_batches(train_graphs, val_idx, args.batch_size)
+        if args.dropout is not None:
+            extra_kwargs = dict(extra_kwargs, dropout=args.dropout)
         model = DGDMModel(node_features=extractor.feature_dim,
                           hidden_dims=hidden, attention_heads=heads,
                           num_diffusion_steps=steps, graph_layers=4,
@@ -517,6 +538,8 @@ def main(argv=None):
                     else "camelyon16-synthetic-standin") if args.synthetic
                    else "camelyon16",
         "config": args.config,
+        "hidden_dims": list(hidden),
+        "per_slide_norm": args.per_slide_norm,
         "extractor": arch,
         "vit_weights": str(args.vit_weights) if args.vit_weights else None,
         "backbone_pretrained": weights_loaded,

@@ -205,6 +205,42 @@ class TestTissueGraphBuilder:
         assert np.isfinite(feats).all()
         assert np.abs(feats).sum() > 0
 
+    def test_stats_extractor_arch(self):
+        """arch='stats' yields deterministic 14-d stain-morphometry node
+        features with no encoder weights (weights_loaded True, no random-
+        init warning path)."""
+        from dgdm_histopath_tpu.models.vit import (
+            STAIN_STATS_DIM, PatchFeatureExtractor,
+        )
+        data = self._slide_data(n_patches=12)
+        ex = PatchFeatureExtractor(arch="stats", batch_size=8)
+        assert ex.weights_loaded  # weight-free arch is never "random init"
+        builder = TissueGraphBuilder(extractor=ex, node_buckets=[16, 32])
+        g = builder.build_graph(data)
+        assert g.x.shape[-1] == STAIN_STATS_DIM
+        feats = np.asarray(g.x)[np.asarray(g.node_mask)]
+        assert np.isfinite(feats).all()
+        # deterministic: a second extractor gives identical features
+        g2 = TissueGraphBuilder(extractor=PatchFeatureExtractor(
+            arch="stats", batch_size=8), node_buckets=[16, 32]).build_graph(data)
+        np.testing.assert_allclose(np.asarray(g.x), np.asarray(g2.x),
+                                   rtol=1e-6)
+
+    def test_per_slide_feature_norm(self):
+        """per_slide_feature_norm z-scores features within the slide:
+        per-feature median ~0 and std ~1 over real nodes."""
+        data = self._slide_data(n_patches=30)
+        builder = TissueGraphBuilder(feature_extractor="none",
+                                     node_buckets=[32, 64, 128],
+                                     per_slide_feature_norm=True)
+        g = builder.build_graph(data)
+        feats = np.asarray(g.x)[np.asarray(g.node_mask)]
+        med = np.median(feats, axis=0)
+        assert np.abs(med).max() < 1e-4
+        sd = feats.std(axis=0)
+        # constant features stay ~0 (eps denominator); varying ones hit 1
+        assert ((np.abs(sd - 1.0) < 1e-3) | (sd < 1e-3)).all()
+
     def test_bucket_subsampling(self):
         data = self._slide_data(n_patches=50)
         builder = TissueGraphBuilder(feature_extractor="none", node_buckets=[16])
