@@ -45,6 +45,11 @@ def main(argv=None):
                     "script uses FIXED batch composition)")
     ap.add_argument("--scheduler", default="cosine",
                     choices=("cosine", "onecycle", "none"))
+    ap.add_argument("--finetune-lr-factor", type=float, default=0.1,
+                    help="LR multiplier after the pretrain->finetune "
+                    "transition (TrainerConfig default 0.1 — tuned for LONG "
+                    "pretraining; with a short pretrain phase the x0.1 drop "
+                    "makes the classifier underfit: train CE stuck ~0.69)")
     ap.add_argument("--eval-every", type=int, default=2)
     ap.add_argument("--cache-tag", default="",
                     help="graph-cache filename suffix, e.g. "
@@ -138,6 +143,7 @@ def main(argv=None):
         warmup_steps=min(100, steps_per_epoch),
         max_epochs=total_epochs, pretrain_epochs=args.pretrain_epochs,
         scheduler_type=args.scheduler,
+        finetune_lr_factor=args.finetune_lr_factor,
         steps_per_epoch=steps_per_epoch), use_mesh=False)
     example = as_batches(train, tr_idx[:args.batch_size], args.batch_size)[0]
     trainer.init_state(jrandom.PRNGKey(args.seed), example)

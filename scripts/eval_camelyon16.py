@@ -271,6 +271,14 @@ def main(argv=None):
                          "the full Base geometry)")
     ap.add_argument("--dropout", type=float, default=None,
                     help="override model dropout (default 0.1)")
+    ap.add_argument("--weight-decay", type=float, default=None,
+                    help="AdamW weight decay (default TrainerConfig 1e-5; "
+                         "the calibrated hard gate uses 1e-3)")
+    ap.add_argument("--finetune-lr-factor", type=float, default=None,
+                    help="LR multiplier at the pretrain->finetune transition "
+                         "(TrainerConfig default 0.1 — tuned for LONG "
+                         "pretraining; short-pretrain staging runs need 1.0 "
+                         "or the classifier underfits)")
     ap.add_argument("--window", type=int, default=None,
                     help="run the windowed scaling config: spatial_window + "
                          "graph_window = W in the model, graphs Morton-"
@@ -445,12 +453,16 @@ def main(argv=None):
                           num_diffusion_steps=steps, graph_layers=4,
                           num_classes=2, pooling="attention", **extra_kwargs)
         lr = args.lr or (1e-4 if weights_loaded else 1e-3)
-        trainer = DGDMTrainer(model, TrainerConfig(
-            learning_rate=lr,
-            warmup_steps=min(100, n_train_batches),
-            max_epochs=pt + finetune_epochs,
-            pretrain_epochs=pt,
-            steps_per_epoch=n_train_batches), use_mesh=False)
+        tc = dict(learning_rate=lr,
+                  warmup_steps=min(100, n_train_batches),
+                  max_epochs=pt + finetune_epochs,
+                  pretrain_epochs=pt,
+                  steps_per_epoch=n_train_batches)
+        if args.weight_decay is not None:
+            tc["weight_decay"] = args.weight_decay
+        if args.finetune_lr_factor is not None:
+            tc["finetune_lr_factor"] = args.finetune_lr_factor
+        trainer = DGDMTrainer(model, TrainerConfig(**tc), use_mesh=False)
         example = batch_graphs(
             [train_graphs[i] for i in tr_idx[:args.batch_size]])
         trainer.init_state(jrandom.PRNGKey(args.seed), example)
