@@ -148,12 +148,24 @@ class DGDMPredictor:
         e.g. a ``<stdin>``/REPL ``__main__`` that multiprocessing-spawn
         cannot re-import — so inference falls back to in-process decode
         instead of failing the slide.
+
+        Worker count is capped at ``os.cpu_count() - 1``: each spawned
+        worker re-imports the package (~10 s on a busy core) and decode is
+        CPU-bound, so on a single-core host a pool only ADDS spawn + IPC
+        cost on top of the same serialized inflate work (measured: 4-worker
+        spawn 30-66 s, then BrokenProcessPool teardown burned 76 s in a
+        test run). In-process decode is strictly faster there.
         """
+        import os
         if self.decode_workers <= 1 or self._pool is False:
             return None
+        eff_workers = min(self.decode_workers, (os.cpu_count() or 1) - 1)
+        if eff_workers < 1:
+            self._pool = False          # remember: don't re-probe per slide
+            return None
+        self._pool_workers = eff_workers
         if self._pool is None:
             import multiprocessing as mp
-            import os
             import time as _t
             from concurrent.futures import ProcessPoolExecutor
             from ..preprocessing.slide_processor import _decode_worker_init
@@ -177,11 +189,11 @@ class DGDMPredictor:
             pool = None
             try:
                 pool = ProcessPoolExecutor(
-                    max_workers=self.decode_workers,
+                    max_workers=eff_workers,
                     mp_context=mp.get_context("spawn"),
                     initializer=_decode_worker_init)
                 barrier = [pool.submit(_t.sleep, 0.3)
-                           for _ in range(self.decode_workers)]
+                           for _ in range(eff_workers)]
                 for f in barrier:
                     f.result()
                 self._pool = pool
@@ -290,7 +302,8 @@ class DGDMPredictor:
                                                       infos[i + bs:i + 2 * bs])
                     if pool is not None:
                         chunk = self.processor.extract_patch_batch_parallel(
-                            slide, sub, pool, self.decode_workers)
+                            slide, sub, pool,
+                            getattr(self, '_pool_workers', self.decode_workers))
                     else:
                         chunk = self.processor.extract_patch_batch(slide, sub)
                     decode_s[0] += _time.perf_counter() - t
