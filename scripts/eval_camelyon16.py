@@ -237,6 +237,10 @@ def main(argv=None):
                          "/root/reference/dgdm_histopath/training/"
                          "trainer.py:91-175)")
     ap.add_argument("--out", type=Path, default=Path("c16_eval"))
+    ap.add_argument("--report-name", default="report.json",
+                    help="report filename under --out (multi-seed runs "
+                         "write report_s{seed}.json etc. to avoid "
+                         "clobbering)")
     ap.add_argument("--config", choices=("base", "large"), default="base")
     ap.add_argument("--bucket", type=int, default=None,
                     help="node bucket (default: 1024 base / 2048 large; "
@@ -279,6 +283,17 @@ def main(argv=None):
                          "(TrainerConfig default 0.1 — tuned for LONG "
                          "pretraining; short-pretrain staging runs need 1.0 "
                          "or the classifier underfits)")
+    ap.add_argument("--selection", choices=("val_loss", "final"),
+                    default="val_loss",
+                    help="model-selection protocol: 'val_loss' = early-stop "
+                         "+ restore best-val-loss params (reference "
+                         "ModelCheckpoint(monitor='val_loss') semantics, "
+                         "cli/train.py:308-317); 'final' = train the full "
+                         "budget, keep final params — on the calibrated hard "
+                         "gate val CE over 19 noisy-label slides is a poor "
+                         "selector (probe s14: val-loss restore landed test "
+                         "AUC 0.58 while final-epoch params plateau at "
+                         "~0.70), so the gate uses fixed-budget 'final'")
     ap.add_argument("--window", type=int, default=None,
                     help="run the windowed scaling config: spatial_window + "
                          "graph_window = W in the model, graphs Morton-"
@@ -471,8 +486,10 @@ def main(argv=None):
               f"epochs x {n_train_batches} steps, lr={lr}")
         fit = trainer.fit(train_loader, val_batches,
                           max_epochs=pt + finetune_epochs,
-                          early_stopping_patience=max(10, finetune_epochs // 3),
-                          restore_best_params=True)
+                          early_stopping_patience=(
+                              10**9 if args.selection == "final"
+                              else max(10, finetune_epochs // 3)),
+                          restore_best_params=args.selection != "final")
         probs, labels = [], []
         for j in range(0, len(test_graphs), args.batch_size):
             chunk = test_graphs[j:j + args.batch_size]
@@ -552,6 +569,8 @@ def main(argv=None):
         "config": args.config,
         "hidden_dims": list(hidden),
         "per_slide_norm": args.per_slide_norm,
+        "selection": args.selection,
+        "seed": args.seed,
         "extractor": arch,
         "vit_weights": str(args.vit_weights) if args.vit_weights else None,
         "backbone_pretrained": weights_loaded,
@@ -605,7 +624,7 @@ def main(argv=None):
                                    metrics["_probs_int8"])
         report["int8_auc_delta_ci95"] = [round(d["lower"], 4),
                                          round(d["upper"], 4)]
-    out_path = args.out / "report.json"
+    out_path = args.out / args.report_name
     out_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
     print(f"[eval_c16] report -> {out_path}")
