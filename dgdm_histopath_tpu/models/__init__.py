@@ -9,7 +9,7 @@ from .decoders import (
 from .pooling import (
     GlobalMeanPool, GlobalMaxPool, GlobalAttentionPool, GlobalSet2SetPool, make_pool,
 )
-from .presets import create_model, list_presets, PRESETS
+from .presets import (create_model, default_window_policy, list_presets, PRESETS)
 
 __all__ = [
     "DGDMModel",
@@ -18,5 +18,5 @@ __all__ = [
     "cross_entropy_loss", "cox_partial_likelihood", "discrete_survival_loss",
     "GlobalMeanPool", "GlobalMaxPool", "GlobalAttentionPool", "GlobalSet2SetPool",
     "make_pool",
-    "create_model", "list_presets", "PRESETS",
+    "create_model", "default_window_policy", "list_presets", "PRESETS",
 ]

@@ -387,6 +387,18 @@ class TestPresets:
         assert m.hidden_dims == (512, 256, 128)
         large = create_model("dgdm-large")
         assert large.attention_heads == 16
+        # the windowed+banded scaling config is the validated default at
+        # the Large bucket (models/presets.py default_window_policy)
+        assert large.spatial_window == 128 and large.graph_window == 128
+        dense = create_model("dgdm-large", spatial_window=None,
+                             graph_window=None)
+        assert dense.spatial_window is None
+
+    def test_default_window_policy(self):
+        from dgdm_histopath_tpu.models.presets import default_window_policy
+        assert default_window_policy(1024) == (None, None)
+        assert default_window_policy(2048) == (128, 128)
+        assert default_window_policy(8192) == (128, 128)
 
     def test_preset_override_and_unknown(self):
         from dgdm_histopath_tpu.models import create_model
