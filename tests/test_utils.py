@@ -77,6 +77,11 @@ class TestConfig:
         assert w.model.graph_window == 128
         assert w.data.spatial_sort is True
         assert w.data.knn_window == 128
+        # since VERDICT r3 #4 the PLAIN Large config ships the windowed
+        # default too (models/presets.py default_window_policy)
+        lg = load_config(cfg_dir / "dgdm_large.yaml", apply_env=False)
+        assert lg.model.spatial_window == 128 and lg.model.graph_window == 128
+        assert lg.data.spatial_sort is True and lg.data.knn_window == 128
         # the XL preset extends the bucket ladder to 8192-node slide graphs
         # (4x the reference's max_patches=2000 structural cap)
         xl = load_config(cfg_dir / "dgdm_xl_windowed.yaml", apply_env=False)
