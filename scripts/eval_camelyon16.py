@@ -294,11 +294,17 @@ def main(argv=None):
                          "selector (probe s14: val-loss restore landed test "
                          "AUC 0.58 while final-epoch params plateau at "
                          "~0.70), so the gate uses fixed-budget 'final'")
-    ap.add_argument("--window", type=int, default=None,
+    ap.add_argument("--window", type=str, default=None,
                     help="run the windowed scaling config: spatial_window + "
                          "graph_window = W in the model, graphs Morton-"
                          "sorted and built with knn_window=W (banded "
-                         "compute exact by construction; ADR-0004 add.9)")
+                         "compute exact by construction; ADR-0004 add.9). "
+                         "Accepts a comma list ('32,8'): the FIRST window is "
+                         "the promoted config (report key "
+                         "window_auc_delta_vs_dense); extras add "
+                         "window{W}_auc_delta_vs_dense variants sharing the "
+                         "same dense arm (e.g. a too-small window as the "
+                         "gate-power failure probe)")
     ap.add_argument("--ab-window", action="store_true",
                     help="with --window: train BOTH the dense-parity config "
                          "(unconstrained graphs, all-pairs attention) and "
@@ -452,6 +458,21 @@ def main(argv=None):
         both systems) instead of comparing independent CIs.
         """
         pt = pretrain_epochs if pt_epochs is None else pt_epochs
+        # crash-resumable variant cache: a multi-arm run on a 1-core host is
+        # hours long; each finished arm persists its test probs + metrics so
+        # a rerun (or a later invocation adding MORE variants) skips it and
+        # the paired bootstrap deltas still see the same arrays.
+        vcache = args.out / f"variant_{tag}_s{args.seed}.npz"
+        if vcache.exists():
+            z = np.load(vcache, allow_pickle=True)
+            m = json.loads(str(z["metrics"]))
+            m["_probs"] = z["probs"]
+            m["_labels"] = z["labels"]
+            if "probs_int8" in z.files:
+                m["_probs_int8"] = z["probs_int8"]
+            print(f"[eval_c16] [{tag}] resumed from {vcache} "
+                  f"(auc={m.get('auc')})")
+            return m
         train_graphs, test_graphs = load_graphs(knn_window)
         # epoch-reshuffled training batches (reference DataLoader(shuffle=
         # True), data/datamodule.py:173-197); val/test stay fixed
@@ -505,9 +526,10 @@ def main(argv=None):
         m["_probs"] = np.concatenate(probs, axis=0)[:, 1]
         m["_labels"] = np.asarray(labels)
         print(f"[eval_c16] [{tag}] auc={m.get('auc')} f1={m.get('f1')}")
-        if args.ab_int8:
+        if args.ab_int8 and tag == "dense":
             # same finetuned params, Dense layers on the int8 MXU path —
             # the end-task accuracy gate for the quantized serving path
+            # (dense arm only: the report pairs int8 against the primary)
             import jax as _jax
             from dgdm_histopath_tpu.models.quantized import int8_apply
             fwd8 = _jax.jit(lambda p, gg: int8_apply(
@@ -530,19 +552,27 @@ def main(argv=None):
             m["_probs_int8"] = np.concatenate(probs8, axis=0)[:, 1]
             print(f"[eval_c16] [{tag}] int8: auc={m8.get('auc')} "
                   f"f1={m8.get('f1')} delta={m['int8_auc_delta']}")
+        arrays = {"probs": m["_probs"], "labels": m["_labels"]}
+        if m.get("_probs_int8") is not None:
+            arrays["probs_int8"] = m["_probs_int8"]
+        np.savez(vcache, metrics=json.dumps(
+            {k: v for k, v in m.items() if not k.startswith("_")},
+            default=float), **arrays)
         return m
 
     # a variant = (tag, model kwargs, graph-build knn_window, pretrain
     # override). The windowed scaling config pairs the banded model with
     # band-built graphs, so its banded compute is exact by construction
     # (ops.knn._band_mask).
+    windows = ([int(w) for w in str(args.window).split(",")]
+               if args.window is not None else [])
     variants = []
-    if args.window is None or args.ab_window:
+    if not windows or args.ab_window:
         variants.append(("dense", {}, None, None))
-    if args.window is not None:
-        variants.append((f"window{args.window}",
-                         {"spatial_window": args.window,
-                          "graph_window": args.window}, args.window, None))
+    for w in windows:
+        variants.append((f"window{w}",
+                         {"spatial_window": w,
+                          "graph_window": w}, w, None))
     if args.moe_experts:
         variants.append((f"moe{args.moe_experts}",
                          {"moe_experts": args.moe_experts}, None, None))
@@ -614,7 +644,7 @@ def main(argv=None):
                 d = paired_bootstrap_delta(_roc_auc, labels_t,
                                            metrics["_probs"], r["_probs"])
                 key = ("window_auc_delta_vs_dense"
-                       if vtag.startswith("window")
+                       if windows and vtag == f"window{windows[0]}"
                        else f"{vtag}_auc_delta_vs_dense")
                 report[key] = round(r["auc"] - metrics["auc"], 4)
                 report[key + "_ci95"] = [round(d["lower"], 4),
