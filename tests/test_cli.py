@@ -117,6 +117,7 @@ class TestTrainPredictCLI:
 
 
 class TestQualityGates:
+    @pytest.mark.slow
     def test_runner_development_level(self):
         from dgdm_histopath_tpu.testing.quality_gates import QualityGateRunner
         runner = QualityGateRunner(level="development")

@@ -170,6 +170,7 @@ class TestPredictor:
         built = pred.graph_builder.build_graph(slide_data)
         assert in_band_fraction(built.nbr_idx, built.nbr_mask, 8) == 1.0
 
+    @pytest.mark.slow
     def test_predict_slides_one_ahead(self, tmp_path):
         """predict_slides overlaps slides: slide i+1 is opened (firing its
         whole-file readahead) on a background thread while slide i runs;

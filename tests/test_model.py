@@ -565,6 +565,7 @@ class TestCompactPooling:
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_compact_gradients_flow(self):
         g = small_batch(feat_dim=16)
         unet = GraphUNet(features=16, depth=1, num_heads=4,

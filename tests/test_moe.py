@@ -181,6 +181,7 @@ class TestModelIntegration:
                          compute_dtype="float32", dropout=0.0,
                          moe_experts=E, **kw)
 
+    @pytest.mark.slow
     def test_forward_has_aux(self):
         model = self._model()
         g = batch_graphs([make_synthetic_graph(seed=i, n_nodes=24, n_real=20,

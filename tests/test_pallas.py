@@ -167,6 +167,7 @@ class TestGatherAgg:
         np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gk[1]),
                                    atol=1e-3, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_model_level_pallas_gather_matches_xla(self):
         """DGDMModel(gather_impl='pallas') == gather_impl='xla' on the same
         params (the A/B wiring used for on-chip benchmarking)."""

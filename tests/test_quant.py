@@ -80,6 +80,7 @@ def _small_vit():
 
 
 class TestVitInt8Parity:
+    @pytest.mark.slow
     def test_feature_cosine_vs_float(self):
         module = _small_vit()
         rng = jax.random.PRNGKey(0)
@@ -110,6 +111,7 @@ class TestVitInt8Parity:
 
 
 class TestQuantizedExtractor:
+    @pytest.mark.slow
     def test_extract_matches_float_path(self):
         fx_f = PatchFeatureExtractor(arch="vit_small", batch_size=8,
                                      image_size=64, seed=7)
@@ -164,6 +166,7 @@ class TestDGDMInt8Apply:
              "dropout": jax.random.PRNGKey(3)}, g, mode="pretrain")
         return model, params, g
 
+    @pytest.mark.slow
     def test_logit_cosine_vs_float(self):
         from dgdm_histopath_tpu.models.quantized import int8_apply
 

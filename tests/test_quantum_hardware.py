@@ -124,6 +124,7 @@ def test_circuit_optimization_preserves_unitary():
 # hybrid flax layer
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_hybrid_layer_shapes_jit_and_gradients():
     layer = HybridQuantumClassicalLayer(
         input_size=16, quantum_size=8, output_size=4, n_qubits=4, n_layers=2)

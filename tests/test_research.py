@@ -37,6 +37,7 @@ def model_and_params(num_classes=2, feat_dim=16):
 
 
 class TestAdversarial:
+    @pytest.mark.slow
     def test_fgsm_perturbs_within_epsilon(self):
         model, params, g = model_and_params()
         attack = MedicalAdversarialAttack(model, params, epsilon=0.1)

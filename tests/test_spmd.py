@@ -181,6 +181,7 @@ class TestTensorParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
 
+    @pytest.mark.slow
     def test_tp_state_actually_sharded(self):
         from dgdm_histopath_tpu.parallel.tp import MODEL_AXIS
         mesh = make_mesh(axes=("data", "model"), shape=(2, 4))

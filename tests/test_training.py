@@ -259,6 +259,7 @@ class TestTrainLogger:
         assert _json.loads(lines[1])["val_loss"] == 0.9
         assert _json.loads((tmp_path / "hparams.json").read_text())["lr"] == 1e-3
 
+    @pytest.mark.slow
     def test_tensorboard_event_files(self, tmp_path):
         pytest.importorskip("torch.utils.tensorboard")
         from dgdm_histopath_tpu.training import TrainLogger
@@ -268,6 +269,7 @@ class TestTrainLogger:
         events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
         assert events, "no TensorBoard event file written"
 
+    @pytest.mark.slow
     def test_fit_wires_logger(self, tmp_path):
         from dgdm_histopath_tpu.training import TrainLogger
         model = tiny_model()
@@ -353,6 +355,7 @@ class TestCheckpoint:
 
 
 class TestAsyncCheckpoint:
+    @pytest.mark.slow
     def test_async_save_restores_bit_identical_snapshot(self):
         """save() returns before serialization finishes (async window); a
         checkpoint completing while training continues must restore the
