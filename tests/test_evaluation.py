@@ -109,6 +109,35 @@ class TestMetrics:
         ci = bootstrap_ci(_roc_auc, labels, scores, n_bootstrap=100)
         assert ci["lower"] <= ci["value"] <= ci["upper"]
 
+    def test_paired_bootstrap_delta(self):
+        """Paired A/B CI: identical systems give delta 0 with a CI that
+        contains 0; a strictly better system gives a CI excluding 0 even
+        when two INDEPENDENT CIs would overlap (the point of pairing)."""
+        from dgdm_histopath_tpu.evaluation.metrics import (
+            _roc_auc, paired_bootstrap_delta)
+        rs = np.random.RandomState(1)
+        labels = rs.randint(0, 2, 200)
+        noise = rs.rand(200)
+        scores_a = labels * 0.3 + noise * 0.7
+        # b = a plus a small per-slide improvement toward the label:
+        # correlated scores, so the paired CI is tight around the uplift.
+        scores_b = scores_a + (labels * 2 - 1) * 0.05
+
+        same = paired_bootstrap_delta(_roc_auc, labels, scores_a, scores_a,
+                                      n_bootstrap=200)
+        assert same["delta"] == 0.0
+        assert same["lower"] <= 0.0 <= same["upper"]
+
+        ab = paired_bootstrap_delta(_roc_auc, labels, scores_a, scores_b,
+                                    n_bootstrap=200)
+        assert ab["delta"] > 0.0
+        assert ab["lower"] > 0.0, "paired CI should exclude 0 for a real uplift"
+        assert ab["lower"] <= ab["delta"] <= ab["upper"]
+        # order flip negates the delta
+        ba = paired_bootstrap_delta(_roc_auc, labels, scores_b, scores_a,
+                                    n_bootstrap=200)
+        assert np.isclose(ba["delta"], -ab["delta"])
+
 
 class TestPredictor:
     def _model_and_params(self, num_classes=3):
