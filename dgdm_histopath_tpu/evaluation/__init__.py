@@ -6,8 +6,8 @@ from .metrics import (
     compute_classification_metrics, compute_regression_metrics,
     compute_segmentation_metrics, compute_graph_statistics,
     compute_clinical_metrics, concordance_index, dice_score, iou_score,
-    bootstrap_ci, paired_bootstrap_delta, quadratic_weighted_kappa,
-    expected_grade_decode,
+    bootstrap_ci, paired_bootstrap_delta, pooled_paired_bootstrap_delta,
+    quadratic_weighted_kappa, expected_grade_decode,
 )
 
 __all__ = [
@@ -16,5 +16,5 @@ __all__ = [
     "compute_segmentation_metrics", "compute_graph_statistics",
     "quadratic_weighted_kappa", "expected_grade_decode",
     "compute_clinical_metrics", "concordance_index", "dice_score", "iou_score",
-    "bootstrap_ci", "paired_bootstrap_delta",
+    "bootstrap_ci", "paired_bootstrap_delta", "pooled_paired_bootstrap_delta",
 ]

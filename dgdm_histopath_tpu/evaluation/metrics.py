@@ -328,3 +328,58 @@ def paired_bootstrap_delta(
     lo, hi = np.percentile(deltas, [100 * alpha / 2, 100 * (1 - alpha / 2)])
     return {"delta": float(point), "lower": float(lo), "upper": float(hi),
             "n_bootstrap": len(deltas)}
+
+
+def pooled_paired_bootstrap_delta(
+    metric_fn,
+    labels: np.ndarray,
+    scores_a_by_seed,
+    scores_b_by_seed,
+    n_bootstrap: int = 2000,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Multi-seed pooling of :func:`paired_bootstrap_delta`: the statistic
+    is the MEAN over training-seed replicates of ``metric(b_s) - metric(a_s)``
+    on one shared slide resample per bootstrap draw. Replicates share the
+    test set (only training init/shuffling/splits vary), so the same index
+    set is applied to every replicate of both arms — slide-sampling variance
+    cancels within each pair, and averaging across seeds shrinks the
+    training-noise component a single-seed delta cannot distinguish from the
+    systematic effect. Use when one seed's paired CI straddles zero but the
+    effect replicates in sign (e.g. the pretrain-vs-scratch uplift on the
+    calibrated hard gate).
+
+    ``scores_a_by_seed`` / ``scores_b_by_seed``: sequences of per-seed score
+    vectors, index-aligned (seed k of ``a`` trained with the same seed as
+    seed k of ``b``); both must have the same number of replicates.
+    """
+    labels = np.asarray(labels)
+    sa = [np.asarray(s) for s in scores_a_by_seed]
+    sb = [np.asarray(s) for s in scores_b_by_seed]
+    if len(sa) != len(sb) or not sa:
+        raise ValueError(
+            f"need equal, non-zero replicate counts (got {len(sa)} vs {len(sb)})")
+    rs = np.random.RandomState(seed)
+    n = len(labels)
+    per_seed = [float(metric_fn(labels, b) - metric_fn(labels, a))
+                for a, b in zip(sa, sb)]
+    point = float(np.mean(per_seed))
+    deltas = []
+    for _ in range(n_bootstrap):
+        idx = rs.randint(0, n, n)
+        vals = []
+        for a, b in zip(sa, sb):
+            va = metric_fn(labels[idx], a[idx])
+            vb = metric_fn(labels[idx], b[idx])
+            if np.isfinite(va) and np.isfinite(vb):
+                vals.append(vb - va)
+        if vals:
+            deltas.append(float(np.mean(vals)))
+    if not deltas:
+        return {"delta": point, "lower": float("nan"), "upper": float("nan"),
+                "per_seed": per_seed, "n_seeds": len(sa)}
+    lo, hi = np.percentile(deltas, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return {"delta": point, "lower": float(lo), "upper": float(hi),
+            "per_seed": per_seed, "n_seeds": len(sa),
+            "n_bootstrap": len(deltas)}

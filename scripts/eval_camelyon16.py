@@ -322,6 +322,13 @@ def main(argv=None):
                          "the end-task accuracy gate for the expert-FFN "
                          "tier (nn/moe.py)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--train-seed", type=int, default=None,
+                    help="seed for the training procedure ONLY (train/val "
+                         "split, batch shuffling, param init); data "
+                         "generation keeps --seed, so the task and test set "
+                         "are identical — use to replicate an A/B delta "
+                         "across training seeds without re-preprocessing "
+                         "(graph cache hits). Defaults to --seed.")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (the axon sitecustomize pins the TPU "
                          "backend; staging runs should not hog the tunnel)")
@@ -438,7 +445,8 @@ def main(argv=None):
     if args.hidden is not None:
         hidden = tuple(int(h) for h in args.hidden.split(","))
 
-    rng = np.random.RandomState(args.seed)
+    tseed = args.seed if args.train_seed is None else args.train_seed
+    rng = np.random.RandomState(tseed)
     order = rng.permutation(len(train_items))
     n_val = max(1, len(order) // 5)
     val_idx, tr_idx = order[:n_val], order[n_val:]
@@ -462,7 +470,9 @@ def main(argv=None):
         # hours long; each finished arm persists its test probs + metrics so
         # a rerun (or a later invocation adding MORE variants) skips it and
         # the paired bootstrap deltas still see the same arrays.
-        vcache = args.out / f"variant_{tag}_s{args.seed}.npz"
+        vsuffix = (f"s{args.seed}" if tseed == args.seed
+                   else f"s{args.seed}t{tseed}")
+        vcache = args.out / f"variant_{tag}_{vsuffix}.npz"
         if vcache.exists():
             z = np.load(vcache, allow_pickle=True)
             m = json.loads(str(z["metrics"]))
@@ -479,7 +489,7 @@ def main(argv=None):
         from dgdm_histopath_tpu.data.datamodule import BucketedLoader
         train_loader = BucketedLoader([train_graphs[i] for i in tr_idx],
                                       args.batch_size, shuffle=True,
-                                      seed=args.seed)
+                                      seed=tseed)
         n_train_batches = len(train_loader)
         val_batches = as_batches(train_graphs, val_idx, args.batch_size)
         if args.dropout is not None:
@@ -501,7 +511,7 @@ def main(argv=None):
         trainer = DGDMTrainer(model, TrainerConfig(**tc), use_mesh=False)
         example = batch_graphs(
             [train_graphs[i] for i in tr_idx[:args.batch_size]])
-        trainer.init_state(jrandom.PRNGKey(args.seed), example)
+        trainer.init_state(jrandom.PRNGKey(tseed), example)
         print(f"[eval_c16] [{tag}] finetuning {args.config}: "
               f"{pt} pretrain + {finetune_epochs} finetune "
               f"epochs x {n_train_batches} steps, lr={lr}")
@@ -601,6 +611,7 @@ def main(argv=None):
         "per_slide_norm": args.per_slide_norm,
         "selection": args.selection,
         "seed": args.seed,
+        "train_seed": tseed,
         "extractor": arch,
         "vit_weights": str(args.vit_weights) if args.vit_weights else None,
         "backbone_pretrained": weights_loaded,

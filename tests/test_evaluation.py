@@ -138,6 +138,45 @@ class TestMetrics:
                                     n_bootstrap=200)
         assert np.isclose(ba["delta"], -ab["delta"])
 
+    def test_pooled_paired_bootstrap_delta(self):
+        """Multi-seed pooling: the pooled point estimate is the mean of the
+        per-seed paired deltas; pooling seed replicates of a real uplift
+        keeps (or tightens) the CI exclusion of 0; one seed degenerates to
+        the single-pair case; mismatched replicate counts are rejected."""
+        from dgdm_histopath_tpu.evaluation.metrics import (
+            _roc_auc, paired_bootstrap_delta, pooled_paired_bootstrap_delta)
+        rs = np.random.RandomState(2)
+        labels = rs.randint(0, 2, 200)
+        # three "training seeds" of each arm: shared signal, independent
+        # training noise, plus a systematic per-seed uplift for arm b
+        seeds_a, seeds_b = [], []
+        for _ in range(3):
+            a = labels * 0.3 + rs.rand(200) * 0.7
+            seeds_a.append(a)
+            seeds_b.append(a + (labels * 2 - 1) * 0.05 + rs.rand(200) * 0.02)
+
+        pooled = pooled_paired_bootstrap_delta(
+            _roc_auc, labels, seeds_a, seeds_b, n_bootstrap=200)
+        per_seed = [float(_roc_auc(labels, b) - _roc_auc(labels, a))
+                    for a, b in zip(seeds_a, seeds_b)]
+        assert np.isclose(pooled["delta"], np.mean(per_seed))
+        assert pooled["n_seeds"] == 3
+        assert np.allclose(pooled["per_seed"], per_seed)
+        assert pooled["lower"] > 0.0, "pooled CI should exclude 0"
+        assert pooled["lower"] <= pooled["delta"] <= pooled["upper"]
+
+        single = pooled_paired_bootstrap_delta(
+            _roc_auc, labels, seeds_a[:1], seeds_b[:1], n_bootstrap=200)
+        pair = paired_bootstrap_delta(_roc_auc, labels, seeds_a[0],
+                                      seeds_b[0], n_bootstrap=200)
+        assert np.isclose(single["delta"], pair["delta"])
+        assert np.isclose(single["lower"], pair["lower"])
+        assert np.isclose(single["upper"], pair["upper"])
+
+        with pytest.raises(ValueError):
+            pooled_paired_bootstrap_delta(_roc_auc, labels, seeds_a,
+                                          seeds_b[:2])
+
 
 class TestPredictor:
     def _model_and_params(self, num_classes=3):
