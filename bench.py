@@ -868,7 +868,7 @@ def main():
             # band-built graphs (data.spatial_sort + data.knn_window, the
             # yaml default), an approximation otherwise. Accuracy evidence:
             # paired bootstrap AUC delta vs dense on the calibrated hard
-            # gate, docs/results/c16_hard/report.json.
+            # gate, docs/results/c16_hard/report_hard.json.
             lw = bench_config("2048node_large", node_features=1024,
                               hidden_dims=(768, 512, 256, 128),
                               num_steps=20, heads=16, layers=4,

@@ -54,7 +54,8 @@ PRESETS = {
 #   * accuracy — on the CALIBRATED hard benchmark (statistical power:
 #     n_test=128, oracle 0.92, chance 0.5 — docs/results/c16_hard) the
 #     windowed config's paired bootstrap AUC delta vs dense is recorded in
-#     docs/results/c16_hard/report.json (window32 arm); the legacy
+#     docs/results/c16_hard/report_hard.json (window32 arm: +0.168
+#     [+0.069, +0.270] — windowed HELPS on the focal-lesion task); the legacy
 #     saturated gates (AUC 1.0) were retired as evidence (VERDICT r3 weak #1).
 #   * at N<=1024 (Base bucket) dense stays the default: the window lever
 #     pays 1.23x there but windowed attention is an approximation of the
