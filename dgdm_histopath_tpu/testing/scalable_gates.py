@@ -58,7 +58,11 @@ class GateResultCache:
         self.cache_dir.mkdir(parents=True, exist_ok=True)
         self.db_path = self.cache_dir / "gate_cache.db"
         self._lock = threading.Lock()
-        with self._conn() as conn:
+        # One persistent connection, shared across worker threads under
+        # _lock (check_same_thread=False is safe because every use is
+        # serialized by the lock); per-call connections leaked handles.
+        self._db = sqlite3.connect(str(self.db_path), check_same_thread=False)
+        with self._lock, self._conn() as conn:
             conn.execute("""
                 CREATE TABLE IF NOT EXISTS gate_results (
                     key TEXT PRIMARY KEY,
@@ -72,7 +76,11 @@ class GateResultCache:
                 ON gate_results(gate_name, timestamp)""")
 
     def _conn(self):
-        return sqlite3.connect(str(self.db_path))
+        return self._db
+
+    def close(self) -> None:
+        with self._lock:
+            self._db.close()
 
     @staticmethod
     def _key(gate_name: str, fingerprint: str, metadata: Dict) -> str:
