@@ -177,6 +177,49 @@ class TestMetrics:
             pooled_paired_bootstrap_delta(_roc_auc, labels, seeds_a,
                                           seeds_b[:2])
 
+    def test_aggregate_hard_seeds_script(self, tmp_path):
+        """End-to-end on synthetic variant npz files matching the
+        eval_camelyon16 --hard cache layout: pools the window A/B across
+        two training seeds, the pretrain uplift across the one common seed,
+        int8 across the seeds that carry probs_int8 — and rejects
+        replicates whose test labels differ (data seed drift)."""
+        import json
+        from scripts.aggregate_hard_seeds import main as agg_main
+
+        rs = np.random.RandomState(7)
+        labels = rs.randint(0, 2, 96)
+
+        def write(tag, suffix, uplift=0.0, int8=False):
+            probs = labels * 0.3 + rs.rand(96) * 0.7 + uplift * (labels * 2 - 1)
+            arrays = {"probs": probs, "labels": labels}
+            if int8:
+                arrays["probs_int8"] = probs + rs.rand(96) * 1e-3
+            np.savez(tmp_path / f"variant_{tag}_{suffix}.npz",
+                     metrics=json.dumps({"auc": 0.5}), **arrays)
+
+        # dense + window32 on train seeds 0 and 1; scratch only on seed 0
+        write("dense", "s0", int8=True)
+        write("dense", "s0t1", int8=True)
+        write("window32", "s0", uplift=0.08)
+        write("window32", "s0t1", uplift=0.08)
+        write("scratch", "s0", uplift=-0.05)
+
+        report = agg_main(["--dir", str(tmp_path), "--n-bootstrap", "100"])
+        assert set(report["arms"]) == {"dense", "window32", "scratch"}
+        assert report["arms"]["dense"]["train_seeds"] == [0, 1]
+        win = report["window_auc_delta_vs_dense"]
+        assert win["train_seeds"] == [0, 1] and len(win["per_seed"]) == 2
+        assert win["delta"] > 0 and win["ci_excludes_zero"]
+        assert report["pretrain_auc_uplift"]["train_seeds"] == [0]
+        assert report["int8_auc_delta"]["train_seeds"] == [0, 1]
+        assert (tmp_path / "report_pooled.json").exists()
+
+        # replicate on a DIFFERENT test set must be rejected
+        labels = 1 - labels
+        write("dense", "s0t2")
+        with pytest.raises(SystemExit):
+            agg_main(["--dir", str(tmp_path)])
+
 
 class TestPredictor:
     def _model_and_params(self, num_classes=3):
