@@ -45,6 +45,11 @@ class DynamicBatcher:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: "Queue" = Queue()
         self._closed = False
+        # serializes the closed-check+enqueue in submit() against the
+        # set-closed+stop-marker in close(): without it a submit that read
+        # _closed=False could enqueue AFTER close()'s marker AND after the
+        # batcher thread's final drain, leaving its future unresolved
+        self._submit_lock = threading.Lock()
         self.stats: Dict[str, float] = {"batches": 0, "items": 0,
                                         "max_batch_seen": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -54,10 +59,11 @@ class DynamicBatcher:
     # -- client side -------------------------------------------------------
     def submit(self, item: Any) -> Future:
         """Enqueue one item; resolve via the returned future."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put((item, fut))
         return fut
 
     def __call__(self, item: Any, timeout: float = 60.0) -> Any:
@@ -156,10 +162,11 @@ class DynamicBatcher:
     # -- lifecycle -----------------------------------------------------------
     def close(self, timeout: float = 10.0) -> None:
         """Drain outstanding requests and stop the device thread."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # wake + stop marker
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # wake + stop marker
         self._thread.join(timeout=timeout)
 
     @property
