@@ -162,6 +162,14 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
     from dgdm_histopath_tpu.ops.knn import knn_euclidean
     from dgdm_histopath_tpu.training import DGDMTrainer, TrainerConfig
 
+    # windowed configs get band-built graphs (Morton-sorted, kNN confined to
+    # the ±1 block band) — the exact semantics TissueGraphBuilder(knn_window)
+    # produces and the trainer now requires for graph_window models; same
+    # shapes either way, so throughput numbers are unaffected
+    from dgdm_histopath_tpu.ops.graph import band_eligible
+    gw = model_overrides.get("graph_window")
+    band = gw if (gw and band_eligible(nodes, gw)) else None
+
     def make_graph(seed):
         rs = np.random.RandomState(seed)
         x = np.zeros((nodes, node_features), np.float32)
@@ -170,7 +178,12 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
         pos[:n_real] = rs.rand(n_real, 2)
         mask = np.zeros((nodes,), bool)
         mask[:n_real] = True
-        idx, dist, valid = knn_euclidean(jnp.asarray(pos), jnp.asarray(mask), 8)
+        if band is not None:
+            from dgdm_histopath_tpu.parallel.halo import morton_keys
+            order = np.argsort(morton_keys(pos, mask), kind="stable")
+            pos, x, mask = pos[order], x[order], mask[order]
+        idx, dist, valid = knn_euclidean(jnp.asarray(pos), jnp.asarray(mask),
+                                         8, band_window=band)
         edge_attr = jnp.stack([dist, jnp.exp(-10.0 * dist), jnp.zeros_like(dist)], -1)
         return PaddedGraph(x=jnp.asarray(x), pos=jnp.asarray(pos), nbr_idx=idx,
                            nbr_mask=valid, edge_attr=edge_attr,
@@ -277,9 +290,19 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
     state, metrics = compiled(trainer.state, batch_g)    # warmup (cached exec)
     float(metrics["loss"])
     n1, n2 = max(n_iters // 2, 5), n_iters * 2
-    t1, state = timed_run(n1, state)
-    t2, state = timed_run(n2, state)
-    step_time = max((t2 - t1) / (n2 - n1), 1e-9)
+    # median of >=3 interleaved slope measurements: the chip is single-tenant
+    # but the TUNNEL is not — one contended window skewed a prior headline
+    # by 36% (README 666 g/s vs driver 488 g/s, VERDICT r4 weak #6); the
+    # median of repeated slopes is robust to one bad window and costs only
+    # already-compiled steps
+    slopes, reps = [], []
+    for _ in range(3):
+        t1, state = timed_run(n1, state)
+        t2, state = timed_run(n2, state)
+        slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
+        reps.append({"n1": n1, "t1_s": round(t1, 4),
+                     "n2": n2, "t2_s": round(t2, 4)})
+    step_time = float(np.median(slopes))
     graphs_per_sec = batch / step_time
     dev = jax.devices()[0]
     peak = peak_bf16_flops(dev)
@@ -309,9 +332,9 @@ def bench_config(name, node_features, hidden_dims, num_steps, heads, layers,
                            if (flops_model and peak) else None),
         "memory_analysis": mem or None,
         "step_time_ms": round(step_time * 1e3, 3),
-        "timing": {"protocol": "two_point_slope_forced_fetch",
-                   "n1": n1, "t1_s": round(t1, 4),
-                   "n2": n2, "t2_s": round(t2, 4)},
+        "timing": {"protocol": "median_of_3_two_point_slopes_forced_fetch",
+                   "slope_ms": [round(s * 1e3, 3) for s in slopes],
+                   "reps": reps},
         "device": getattr(dev, "device_kind", str(dev)),
         "peak_bf16_tflops": round(peak / 1e12, 1) if peak else None,
         "baseline_derivation": ("LOWER BOUND: assumes reference reaches 0.40 "
@@ -811,12 +834,12 @@ def main():
     base["batch"] = headline_batch
     if "--windowed" in sys.argv:
         # windowed+banded scaling config rider (spatial_window +
-        # graph_window; ADR-0004 add.9/10). Clearly labeled: an
-        # APPROXIMATION of the dense all-pairs/all-edges parity semantics
-        # unless graphs are built with TissueGraphBuilder(knn_window=W),
-        # in which case it is exact by construction. The headline `value`
-        # stays the dense parity number; this row records what the
-        # documented scaling levers buy on the same chip.
+        # graph_window; ADR-0004 add.9/10). bench_config band-builds the
+        # graphs for windowed configs, so this benches the EXACT
+        # banded/windowed semantics (the TissueGraphBuilder(knn_window=W)
+        # pairing the trainer enforces). The headline `value` stays the
+        # dense parity number; this row records what the documented scaling
+        # levers buy on the same chip.
         try:
             win = bench_config("1024node_base_windowed", node_features=768,
                                hidden_dims=(512, 256, 128), num_steps=10,
@@ -825,9 +848,7 @@ def main():
                                spatial_window=64, graph_window=64)
             win["batch"] = headline_batch
             win["semantics"] = ("windowed+banded scaling config (window 64)"
-                                ": approximation unless graphs are built "
-                                "with knn_window — exact there; default-off "
-                                "in the model")
+                                " on band-built graphs — exact semantics")
             if base.get("flops_per_step"):
                 dense_per_graph = base["flops_per_step"] / base["batch"]
                 a100_bound = A100_ASSUMED_MFU * A100_PEAK_BF16 / dense_per_graph

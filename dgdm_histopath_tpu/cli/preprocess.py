@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="restrict kNN edges to the ±1 Morton block band of "
                          "this width (implies --spatial-sort) so banded "
                          "model compute (model.graph_window) is exact")
+    bg.add_argument("--model-config", default=None,
+                    help="model yaml the graphs are destined for: derives "
+                         "--knn-window from model.graph_window and "
+                         "--spatial-sort from the windowed settings (the "
+                         "same derivation DGDMPredictor applies), so the "
+                         "preprocess -> train path is band-exact by default "
+                         "for windowed configs — the trainer refuses "
+                         "non-band-built graphs under model.graph_window")
     bg.add_argument("--log-level", default="INFO")
 
     vp = sub.add_parser("validate-preprocessing", help="check outputs")
@@ -109,13 +117,31 @@ def build_graphs(args) -> int:
     if not files:
         logger.error("no .h5 slide data in %s", in_dir)
         return 1
+    knn_window, spatial_sort = args.knn_window, args.spatial_sort
+    if args.model_config is not None:
+        # derive the band-build settings from the target model config
+        # (mirrors DGDMPredictor's derivation, evaluation/predictor.py)
+        from ..utils.config import load_config
+        cfg = load_config(args.model_config)
+        gw = getattr(cfg.model, "graph_window", None)
+        sw = getattr(cfg.model, "spatial_window", None)
+        if knn_window is None:
+            knn_window = gw
+        elif gw is not None and knn_window != gw:
+            logger.error(
+                "--knn-window %d conflicts with %s model.graph_window=%d",
+                knn_window, args.model_config, gw)
+            return 1
+        spatial_sort = spatial_sort or bool(gw or sw)
+        logger.info("derived from %s: knn_window=%s spatial_sort=%s",
+                    args.model_config, knn_window, spatial_sort)
     builder = TissueGraphBuilder(
         feature_extractor=args.feature_extractor,
         k_spatial=args.k_spatial, k_morphological=args.k_morphological,
         node_buckets=[int(b) for b in args.node_buckets.split(",")],
         feature_batch_size=args.feature_batch_size,
-        spatial_sort=args.spatial_sort or args.knn_window is not None,
-        knn_window=args.knn_window)
+        spatial_sort=spatial_sort or knn_window is not None,
+        knn_window=knn_window)
     failed = 0
     for f in files:
         target = out_dir / f"{f.stem}_graph.npz"

@@ -96,16 +96,28 @@ def compute_classification_metrics(
         out["pr_auc"] = _pr_auc(labels, probs[:, 1])
     else:
         # one-vs-rest macro AUC (reference :52-63)
-        aucs, praucs = [], []
-        for c in range(n_classes):
-            binary = (labels == c).astype(int)
-            if binary.sum() in (0, len(binary)):
-                continue
-            aucs.append(_roc_auc(binary, probs[:, c]))
-            praucs.append(_pr_auc(binary, probs[:, c]))
-        out["auc"] = float(np.mean(aucs)) if aucs else float("nan")
-        out["pr_auc"] = float(np.mean(praucs)) if praucs else float("nan")
+        out["auc"] = macro_ovr_auc(labels, probs)
+        out["pr_auc"] = macro_ovr_auc(labels, probs, metric=_pr_auc)
     return out
+
+
+def macro_ovr_auc(labels: np.ndarray, probs: np.ndarray,
+                  metric=None) -> float:
+    """One-vs-rest macro AUC over a ``[N, C]`` probability matrix
+    (reference ``evaluation/metrics.py:52-63`` multi-class branch).
+    Degenerate classes (absent from ``labels``) are skipped; NaN when none
+    remain. Usable directly as the ``metric_fn`` of the bootstrap helpers
+    (they resample rows of both ``labels`` and ``probs``)."""
+    metric = metric or _roc_auc
+    labels = np.asarray(labels)
+    probs = np.asarray(probs)
+    vals = []
+    for c in range(probs.shape[-1]):
+        binary = (labels == c).astype(int)
+        if binary.sum() in (0, len(binary)):
+            continue
+        vals.append(metric(binary, probs[:, c]))
+    return float(np.mean(vals)) if vals else float("nan")
 
 
 def quadratic_weighted_kappa(labels: np.ndarray, preds: np.ndarray,
@@ -338,6 +350,7 @@ def pooled_paired_bootstrap_delta(
     n_bootstrap: int = 2000,
     alpha: float = 0.05,
     seed: int = 0,
+    resample_seeds: bool = True,
 ) -> Dict[str, float]:
     """Multi-seed pooling of :func:`paired_bootstrap_delta`: the statistic
     is the MEAN over training-seed replicates of ``metric(b_s) - metric(a_s)``
@@ -350,6 +363,22 @@ def pooled_paired_bootstrap_delta(
     effect replicates in sign (e.g. the pretrain-vs-scratch uplift on the
     calibrated hard gate).
 
+    ``resample_seeds=True`` (default) makes this a TWO-LEVEL (cluster)
+    bootstrap: each draw resamples the seed replicates WITH replacement in
+    addition to the slides, so between-seed variance — the dominant error
+    term when per-seed deltas swing (e.g. +0.17 / −0.20 across two training
+    seeds) — widens the interval instead of silently vanishing. With
+    ``False`` the seed set is treated as fixed and the CI reflects only
+    slide-sampling noise around the observed seed mean (the pre-round-5
+    behavior; it UNDERSTATES uncertainty whenever seeds disagree). With a
+    single replicate the two modes coincide and both reduce bit-exactly to
+    :func:`paired_bootstrap_delta`.
+
+    Seeds whose full-set delta is non-finite (degenerate resample, NaN
+    scores) are dropped from BOTH the point estimate and the bootstrap, and
+    counted in ``n_seeds_dropped`` — previously one NaN seed poisoned the
+    point estimate while the CI silently skipped it.
+
     ``scores_a_by_seed`` / ``scores_b_by_seed``: sequences of per-seed score
     vectors, index-aligned (seed k of ``a`` trained with the same seed as
     seed k of ``b``); both must have the same number of replicates.
@@ -360,26 +389,44 @@ def pooled_paired_bootstrap_delta(
     if len(sa) != len(sb) or not sa:
         raise ValueError(
             f"need equal, non-zero replicate counts (got {len(sa)} vs {len(sb)})")
+    per_seed_all = [float(metric_fn(labels, b) - metric_fn(labels, a))
+                    for a, b in zip(sa, sb)]
+    keep = [i for i, d in enumerate(per_seed_all) if np.isfinite(d)]
+    dropped = len(sa) - len(keep)
+    sa, sb = [sa[i] for i in keep], [sb[i] for i in keep]
+    per_seed = [per_seed_all[i] for i in keep]
+    if not per_seed:
+        return {"delta": float("nan"), "lower": float("nan"),
+                "upper": float("nan"), "per_seed": [], "n_seeds": 0,
+                "n_seeds_dropped": dropped,
+                "resample_seeds": bool(resample_seeds)}
     rs = np.random.RandomState(seed)
     n = len(labels)
-    per_seed = [float(metric_fn(labels, b) - metric_fn(labels, a))
-                for a, b in zip(sa, sb)]
+    k = len(sa)
     point = float(np.mean(per_seed))
     deltas = []
     for _ in range(n_bootstrap):
         idx = rs.randint(0, n, n)
+        # cluster level: resample which seed replicates enter this draw
+        # (k == 1 is a no-op, preserving paired_bootstrap_delta equivalence
+        # draw-for-draw)
+        sidx = (rs.randint(0, k, k) if resample_seeds and k > 1
+                else range(k))
         vals = []
-        for a, b in zip(sa, sb):
-            va = metric_fn(labels[idx], a[idx])
-            vb = metric_fn(labels[idx], b[idx])
+        for s in sidx:
+            va = metric_fn(labels[idx], sa[s][idx])
+            vb = metric_fn(labels[idx], sb[s][idx])
             if np.isfinite(va) and np.isfinite(vb):
                 vals.append(vb - va)
         if vals:
             deltas.append(float(np.mean(vals)))
     if not deltas:
         return {"delta": point, "lower": float("nan"), "upper": float("nan"),
-                "per_seed": per_seed, "n_seeds": len(sa)}
+                "per_seed": per_seed, "n_seeds": k,
+                "n_seeds_dropped": dropped,
+                "resample_seeds": bool(resample_seeds)}
     lo, hi = np.percentile(deltas, [100 * alpha / 2, 100 * (1 - alpha / 2)])
     return {"delta": point, "lower": float(lo), "upper": float(hi),
-            "per_seed": per_seed, "n_seeds": len(sa),
-            "n_bootstrap": len(deltas)}
+            "per_seed": per_seed, "n_seeds": k, "n_seeds_dropped": dropped,
+            "n_bootstrap": len(deltas),
+            "resample_seeds": bool(resample_seeds)}

@@ -45,18 +45,22 @@ PRESETS = {
 
 
 # Default scaling-config policy (VERDICT r3 #4): at large node buckets the
-# windowed+banded config is the validated default, not an opt-in.
+# windowed+banded config is the default, resting on throughput evidence
+# plus multi-seed accuracy NEUTRALITY (not uplift).
 #
 # Evidence trail:
 #   * throughput — combined windowed (W=64 Base / W=128 Large) is 1.23x / 2.76x
 #     paired on hardware (ADR-0004 add.9/10); at N>=2048 the dense N^2
 #     spatial pass dominates the step and windowed is strictly faster.
-#   * accuracy — on the CALIBRATED hard benchmark (statistical power:
-#     n_test=128, oracle 0.92, chance 0.5 — docs/results/c16_hard) the
-#     windowed config's paired bootstrap AUC delta vs dense is recorded in
-#     docs/results/c16_hard/report_hard.json (window32 arm: +0.168
-#     [+0.069, +0.270] — windowed HELPS on the focal-lesion task); the legacy
-#     saturated gates (AUC 1.0) were retired as evidence (VERDICT r3 weak #1).
+#   * accuracy — on the CALIBRATED hard benchmark (n_test=128, oracle 0.92,
+#     chance 0.5 — docs/results/c16_hard) the windowed-vs-dense paired AUC
+#     delta is SEED-UNSTABLE at the single-seed level (train seed 0: +0.168;
+#     seed 1: −0.199 — each CI excludes zero in opposite directions), so no
+#     single seed is evidence of anything. The pooled multi-seed delta with
+#     a seed-resampling (two-level) bootstrap is the gate:
+#     docs/results/c16_hard/report_pooled.json window_auc_delta_vs_dense.
+#     The default stands while that pooled CI is neutral-or-positive; a
+#     pooled negative that excludes zero reverts it (VERDICT r4 #1).
 #   * at N<=1024 (Base bucket) dense stays the default: the window lever
 #     pays 1.23x there but windowed attention is an approximation of the
 #     all-pairs reference semantics, and the bucket fits comfortably.
@@ -64,7 +68,9 @@ PRESETS = {
 # Policy: buckets >= WINDOWED_DEFAULT_MIN_NODES get spatial_window =
 # graph_window = DEFAULT_WINDOW (graphs must be built with
 # TissueGraphBuilder(spatial_sort=True, knn_window=DEFAULT_WINDOW) for the
-# banded compute to be exact — the predictor derives this automatically).
+# banded compute to be exact — the predictor derives this automatically,
+# dgdm-preprocess build-graphs takes --model-config, and the trainer
+# hard-rejects out-of-band graphs).
 WINDOWED_DEFAULT_MIN_NODES = 2048
 DEFAULT_WINDOW = 128
 

@@ -119,6 +119,10 @@ class TrainingConfig:
     contrastive_temperature: float = 0.1
     scheduler_type: str = "cosine"  # cosine | onecycle | none
     warmup_steps: int = 1000
+    # opt-in for training a model.graph_window config on graphs NOT built
+    # with data.knn_window (banded compute drops out-of-band edges; the
+    # trainer refuses by default — training/trainer.py init_state guard)
+    allow_out_of_band_graphs: bool = False
 
 
 @dataclass

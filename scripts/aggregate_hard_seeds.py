@@ -43,12 +43,25 @@ _VAR_RE = re.compile(r"variant_(?P<tag>.+)_s(?P<seed>\d+)(?:t(?P<tseed>\d+))?\.n
 
 # (report key, arm A, arm B): delta = AUC(B) - AUC(A); pretrain uplift is
 # dense-over-scratch, the perf/memory levers are lever-over-dense.
+# window32 keeps the legacy promoted-config key; any other window{W} or
+# moe{E} arm found on disk gets a {tag}_auc_delta_vs_dense entry (see
+# discover_comparisons).
 _COMPARISONS = [
     ("pretrain_auc_uplift", "scratch", "dense"),
     ("window_auc_delta_vs_dense", "dense", "window32"),
-    ("window8_auc_delta_vs_dense", "dense", "window8"),
-    ("moe4_auc_delta_vs_dense", "dense", "moe4"),
 ]
+
+
+def discover_comparisons(arms):
+    """Extend _COMPARISONS with every window{W}/moe{E} arm present."""
+    comps = list(_COMPARISONS)
+    covered = {b for _, _, b in comps}
+    for tag in sorted(arms):
+        if tag in covered or tag in ("dense", "scratch"):
+            continue
+        if re.fullmatch(r"(window|moe)\d+", tag):
+            comps.append((f"{tag}_auc_delta_vs_dense", "dense", tag))
+    return comps
 
 
 def load_arms(out_dir: Path):
@@ -99,41 +112,48 @@ def main(argv=None):
             "auc_mean": round(float(np.mean(list(aucs.values()))), 4),
         }
 
-    for key, a_tag, b_tag in _COMPARISONS:
+    def pooled_entry(probs_a, probs_b, common):
+        """Headline CI is the TWO-LEVEL bootstrap (slides AND seeds
+        resampled — between-seed variance, the dominant error term on this
+        gate, enters the interval); ``ci95_fixed_seeds`` records the
+        slides-only CI around the observed seed mean for comparison."""
+        d = pooled_paired_bootstrap_delta(
+            _roc_auc, labels, probs_a, probs_b,
+            n_bootstrap=args.n_bootstrap, resample_seeds=True)
+        d_fixed = pooled_paired_bootstrap_delta(
+            _roc_auc, labels, probs_a, probs_b,
+            n_bootstrap=args.n_bootstrap, resample_seeds=False)
+        entry = {
+            "delta": round(d["delta"], 4),
+            "ci95": [round(d["lower"], 4), round(d["upper"], 4)],
+            "ci95_fixed_seeds": [round(d_fixed["lower"], 4),
+                                 round(d_fixed["upper"], 4)],
+            "per_seed": [round(v, 4) for v in d["per_seed"]],
+            "seed_std": round(float(np.std(d["per_seed"], ddof=1)), 4)
+                        if len(d["per_seed"]) > 1 else None,
+            "train_seeds": common,
+            "ci_excludes_zero": bool(d["lower"] > 0 or d["upper"] < 0),
+        }
+        if d.get("n_seeds_dropped"):
+            entry["n_seeds_dropped"] = d["n_seeds_dropped"]
+        return entry
+
+    for key, a_tag, b_tag in discover_comparisons(arms):
         a, b = arms.get(a_tag), arms.get(b_tag)
         if not a or not b:
             continue
         common = sorted(set(a) & set(b))
         if not common:
             continue
-        d = pooled_paired_bootstrap_delta(
-            _roc_auc, labels,
-            [a[s]["probs"] for s in common],
-            [b[s]["probs"] for s in common],
-            n_bootstrap=args.n_bootstrap)
-        report[key] = {
-            "delta": round(d["delta"], 4),
-            "ci95": [round(d["lower"], 4), round(d["upper"], 4)],
-            "per_seed": [round(v, 4) for v in d["per_seed"]],
-            "train_seeds": common,
-            "ci_excludes_zero": bool(d["lower"] > 0 or d["upper"] < 0),
-        }
+        report[key] = pooled_entry([a[s]["probs"] for s in common],
+                                   [b[s]["probs"] for s in common], common)
 
     dense = arms.get("dense", {})
     int8_seeds = sorted(s for s, r in dense.items() if "probs_int8" in r)
     if int8_seeds:
-        d = pooled_paired_bootstrap_delta(
-            _roc_auc, labels,
+        report["int8_auc_delta"] = pooled_entry(
             [dense[s]["probs"] for s in int8_seeds],
-            [dense[s]["probs_int8"] for s in int8_seeds],
-            n_bootstrap=args.n_bootstrap)
-        report["int8_auc_delta"] = {
-            "delta": round(d["delta"], 4),
-            "ci95": [round(d["lower"], 4), round(d["upper"], 4)],
-            "per_seed": [round(v, 4) for v in d["per_seed"]],
-            "train_seeds": int8_seeds,
-            "ci_excludes_zero": bool(d["lower"] > 0 or d["upper"] < 0),
-        }
+            [dense[s]["probs_int8"] for s in int8_seeds], int8_seeds)
 
     out = args.dir / args.report
     out.write_text(json.dumps(report, indent=2))

@@ -50,6 +50,40 @@ class TestPreprocessCLI:
                    "--output-dir", str(tmp_path / "out")])
         assert rc == 1
 
+    def test_build_graphs_derives_band_from_model_config(self, fixture_dir,
+                                                         tmp_path):
+        """--model-config with model.graph_window band-builds the graphs
+        (the preprocess -> train path the trainer's band guard assumes),
+        and a conflicting explicit --knn-window is rejected."""
+        from dgdm_histopath_tpu.cli.preprocess import main
+        from dgdm_histopath_tpu.data.graph_io import load_graph
+        from dgdm_histopath_tpu.ops.graph import band_eligible, in_band_fraction
+
+        if not (fixture_dir / "h5").exists():  # order-robust (see below)
+            main(["process-slides", "--input-dir", str(fixture_dir / "slides"),
+                  "--output-dir", str(fixture_dir / "h5"), "--patch-size",
+                  "32", "--tissue-threshold", "0.3", "--max-patches", "15"])
+        cfg = tmp_path / "windowed.yaml"
+        cfg.write_text("model:\n  graph_window: 8\n  spatial_window: 8\n")
+        out = tmp_path / "graphs_banded"
+        rc = main(["build-graphs", "--input-dir", str(fixture_dir / "h5"),
+                   "--output-dir", str(out),
+                   "--feature-extractor", "none", "--node-buckets", "32",
+                   "--model-config", str(cfg)])
+        assert rc == 0
+        graphs = sorted(out.glob("*_graph.npz"))
+        assert graphs
+        for p in graphs:
+            g = load_graph(p)
+            if band_eligible(g.num_nodes, 8):
+                assert in_band_fraction(g.nbr_idx, g.nbr_mask, 8) == 1.0
+
+        rc = main(["build-graphs", "--input-dir", str(fixture_dir / "h5"),
+                   "--output-dir", str(tmp_path / "graphs_conflict"),
+                   "--feature-extractor", "none", "--node-buckets", "32",
+                   "--knn-window", "16", "--model-config", str(cfg)])
+        assert rc == 1
+
 
 class TestTrainPredictCLI:
     @pytest.mark.slow

@@ -100,7 +100,11 @@ class TestBandedUnderDP:
                               graph_window=8, spatial_window=8)
             return DGDMTrainer(model, TrainerConfig(
                 learning_rate=1e-3, warmup_steps=1, pretrain_epochs=0,
-                steps_per_epoch=10, scheduler_type="none"),
+                steps_per_epoch=10, scheduler_type="none",
+                # graphs here are Morton-sorted but not band-built; the
+                # mesh-vs-solo parity being tested is unaffected by which
+                # edges the band drops (both arms drop the same ones)
+                allow_out_of_band_graphs=True),
                 mesh=mesh, use_mesh=use_mesh)
 
         gs = [spatial_sort(make_synthetic_graph(

@@ -210,6 +210,63 @@ class TestTrainerSteps:
 
 
 @pytest.mark.integration
+class TestBandGuard:
+    """init_state hard-rejects graph_window models on graphs that were not
+    band-built (out-of-band edges would be silently dropped — VERDICT r4
+    weak #7); band-built graphs and the explicit opt-in both pass."""
+
+    def _windowed_trainer(self, **cfg_kw):
+        model = tiny_model(graph_window=8)
+        return DGDMTrainer(model, TrainerConfig(
+            learning_rate=1e-3, warmup_steps=1, pretrain_epochs=1,
+            steps_per_epoch=4, **cfg_kw), use_mesh=False)
+
+    def _banded_batch(self, b=2, window=8):
+        from dgdm_histopath_tpu.ops.knn import knn_euclidean
+        from dgdm_histopath_tpu.parallel.halo import spatial_sort
+        gs = []
+        for i in range(b):
+            g = spatial_sort(make_synthetic_graph(
+                seed=i, n_nodes=32, n_real=24, feat_dim=32))
+            idx, dist, valid = knn_euclidean(g.pos, g.node_mask, 4,
+                                             band_window=window)
+            gs.append(g.replace(
+                nbr_idx=idx, nbr_mask=valid,
+                edge_attr=jnp.zeros((32, 4, g.edge_attr.shape[-1]),
+                                    g.edge_attr.dtype)))
+        return batch_graphs(gs)
+
+    def test_out_of_band_graphs_rejected(self):
+        trainer = self._windowed_trainer()
+        batch = tiny_batch(2)   # plain kNN graphs: not band-built
+        from dgdm_histopath_tpu.ops.graph import in_band_fraction
+        assert in_band_fraction(batch.nbr_idx, batch.nbr_mask, 8) < 0.99, \
+            "fixture must actually contain out-of-band edges"
+        with pytest.raises(ValueError, match="in-band"):
+            trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    def test_escape_hatch_allows(self):
+        trainer = self._windowed_trainer(allow_out_of_band_graphs=True)
+        batch = tiny_batch(2)
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+        m = trainer.training_step(batch, epoch=0)
+        assert np.isfinite(m["loss"])
+
+    def test_band_built_graphs_pass(self):
+        trainer = self._windowed_trainer()
+        batch = self._banded_batch()
+        from dgdm_histopath_tpu.ops.graph import in_band_fraction
+        assert in_band_fraction(batch.nbr_idx, batch.nbr_mask, 8) == 1.0
+        trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    def test_config_plumbing(self):
+        """yaml training.allow_out_of_band_graphs reaches TrainerConfig."""
+        from dgdm_histopath_tpu.utils.config import DGDMConfig
+        cfg = DGDMConfig()
+        cfg.training.allow_out_of_band_graphs = True
+        assert TrainerConfig.from_config(cfg).allow_out_of_band_graphs
+
+
 class TestDataParallel:
     @pytest.mark.slow
     def test_dp_mesh_step_matches_single_device(self):
