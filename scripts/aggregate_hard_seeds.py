@@ -101,11 +101,23 @@ def main(argv=None):
     if labels is None:
         raise SystemExit(f"no variant_*.npz found under {args.dir}")
 
-    report = {"dataset": "camelyon16-synthetic-hard", "n_test": len(labels),
-              "arms": {}}
+    # binary arms store 1-d tumor-probability vectors; multi-class arms
+    # (eval_tcga --hard) store [N, C] matrices and pool with macro OVR AUC
+    multiclass = any(r["probs"].ndim == 2
+                     for by_seed in arms.values() for r in by_seed.values())
+    if multiclass:
+        from dgdm_histopath_tpu.evaluation.metrics import macro_ovr_auc
+        _metric = macro_ovr_auc
+    else:
+        _metric = _roc_auc
+
+    report = {"dataset": ("multiclass-hard" if multiclass
+                          else "camelyon16-synthetic-hard"),
+              "auc_metric": "macro_ovr" if multiclass else "binary",
+              "n_test": len(labels), "arms": {}}
     for tag, by_seed in sorted(arms.items()):
         seeds = sorted(by_seed)
-        aucs = {s: float(_roc_auc(labels, by_seed[s]["probs"])) for s in seeds}
+        aucs = {s: float(_metric(labels, by_seed[s]["probs"])) for s in seeds}
         report["arms"][tag] = {
             "train_seeds": seeds,
             "auc_by_seed": {str(s): round(a, 4) for s, a in aucs.items()},
@@ -118,10 +130,10 @@ def main(argv=None):
         gate, enters the interval); ``ci95_fixed_seeds`` records the
         slides-only CI around the observed seed mean for comparison."""
         d = pooled_paired_bootstrap_delta(
-            _roc_auc, labels, probs_a, probs_b,
+            _metric, labels, probs_a, probs_b,
             n_bootstrap=args.n_bootstrap, resample_seeds=True)
         d_fixed = pooled_paired_bootstrap_delta(
-            _roc_auc, labels, probs_a, probs_b,
+            _metric, labels, probs_a, probs_b,
             n_bootstrap=args.n_bootstrap, resample_seeds=False)
         entry = {
             "delta": round(d["delta"], 4),

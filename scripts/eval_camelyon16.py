@@ -46,6 +46,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REFERENCE_TARGETS = {  # /root/reference/README.md:270-271
     "base": {"auc": 0.976, "f1": 0.932},
@@ -195,19 +196,8 @@ def generate_synthetic_camelyon16_hard(root: Path, n_train_per_class: int = 32,
     return man
 
 
-def slide_to_graph(path: Path, label: int, processor, builder, cache_dir: Path,
-                   bucket: int, sort_tag: str = ""):
-    """Preprocess one slide into a cached PaddedGraph."""
-    from dgdm_histopath_tpu.data.graph_io import load_graph, save_graph
-    cache = cache_dir / f"{path.stem}_b{bucket}{sort_tag}.npz"
-    if cache.exists():
-        g = load_graph(cache)
-    else:
-        slide_data = processor.process_slide(str(path), slide_id=path.stem)
-        g = builder.build_graph(slide_data, bucket=bucket)
-        save_graph(g, cache)
-    import jax.numpy as jnp
-    return g.replace(y=jnp.asarray(label, jnp.int32))
+from gate_harness import slide_to_graph  # noqa: E402,F401  (re-export:
+# eval_tcga/eval_panda import the shared helper from here historically)
 
 
 def main(argv=None):
@@ -420,38 +410,7 @@ def main(argv=None):
     processor = SlideProcessor(patch_size=patch_size,
                                max_patches=max_patches,
                                tissue_threshold=tissue_threshold)
-    cache_dir = args.out / "graph_cache"
-    cache_dir.mkdir(parents=True, exist_ok=True)
-
-    n_slides = len(train_items) + len(test_items)
-    prep_stats = {"s": 0.0, "n": 0}
-
-    def load_graphs(knn_window):
-        """Preprocess (or load cached) graphs for one graph-build config."""
-        builder = TissueGraphBuilder(extractor=extractor,
-                                     node_buckets=(bucket,),
-                                     spatial_sort=knn_window is not None,
-                                     knn_window=knn_window,
-                                     per_slide_feature_norm=args.per_slide_norm)
-        tag = f"_w{knn_window}" if knn_window else ""
-        default_arch = "simple_cnn" if args.synthetic else "dinov2"
-        if arch != default_arch:  # distinct features -> distinct cache
-            tag += "_" + arch.replace("+", "-")
-        if args.per_slide_norm:   # distinct features -> distinct cache
-            tag += "_psn"
-        print("[eval_c16] preprocessing slides -> graphs "
-              f"(bucket={bucket}, knn_window={knn_window}, "
-              f"cache={cache_dir})")
-        t0 = time.time()
-        tr = [slide_to_graph(p, y, processor, builder, cache_dir, bucket, tag)
-              for p, y in train_items]
-        te = [slide_to_graph(p, y, processor, builder, cache_dir, bucket, tag)
-              for p, y in test_items]
-        prep_stats["s"] += time.time() - t0
-        prep_stats["n"] += n_slides
-        return tr, te
-
-    # --- model + finetune -------------------------------------------------
+    # --- model geometry ---------------------------------------------------
     if args.config == "large":  # configs/dgdm_large.yaml geometry
         hidden, heads, steps = (768, 512, 256, 128), 16, 20
     else:                       # configs/dgdm_base.yaml geometry
@@ -459,336 +418,23 @@ def main(argv=None):
     if args.hidden is not None:
         hidden = tuple(int(h) for h in args.hidden.split(","))
 
-    tseeds = ([int(s) for s in str(args.train_seed).split(",")]
-              if args.train_seed is not None else [args.seed])
-
-    def as_batches(graphs, idxs, bs):
-        return [batch_graphs([graphs[i] for i in idxs[j:j + bs]])
-                for j in range(0, len(idxs), bs)]
-
-    import jax.random as jrandom
-
-    # a variant = (tag, model kwargs, graph-build knn_window, pretrain
-    # override). The windowed scaling config pairs the banded model with
-    # band-built graphs, so its banded compute is exact by construction
-    # (ops.knn._band_mask).
-    windows = ([int(w) for w in str(args.window).split(",")]
-               if args.window is not None else [])
-    variants = []
-    if not windows or args.ab_window:
-        variants.append(("dense", {}, None, None))
-    for w in windows:
-        variants.append((f"window{w}",
-                         {"spatial_window": w,
-                          "graph_window": w}, w, None))
-    if args.moe_experts:
-        variants.append((f"moe{args.moe_experts}",
-                         {"moe_experts": args.moe_experts}, None, None))
-    if args.ab_pretrain:
-        # transfer gate: same finetune budget, no SSL pretraining phase
-        variants.append(("scratch", {}, None, 0))
-    if args.ab_int8 and not any(t == "dense" for t, _, _, _ in variants):
-        # the int8 gate pairs against the dense arm; with --window but no
-        # --ab-window there is none, and the gate would silently no-op
-        ap.error("--ab-int8 pairs int8 inference against the dense arm, but "
-                 "no dense arm is scheduled (--window without --ab-window); "
-                 "add --ab-window or drop --window")
-
-    def arm_config(tag, extra_kwargs, knn_window, pt):
-        """Config-affecting inputs of one arm, persisted into the variant
-        cache so a resume into the same --out with DIFFERENT hyperparameters
-        is refused instead of silently mixing configs in one report."""
-        return {
-            "tag": tag, "model_kwargs": dict(extra_kwargs),
-            "knn_window": knn_window,
-            "pretrain_epochs": pt, "finetune_epochs": finetune_epochs,
-            "config": args.config, "hidden": list(hidden), "heads": heads,
-            "diffusion_steps": steps,
-            "dropout": args.dropout, "weight_decay": args.weight_decay,
-            "lr": args.lr or (1e-4 if weights_loaded else 1e-3),
-            "finetune_lr_factor": args.finetune_lr_factor,
-            "selection": args.selection, "batch_size": args.batch_size,
-            "extractor": arch, "per_slide_norm": args.per_slide_norm,
-            "bucket": bucket, "max_patches": max_patches,
-            "patch_size": patch_size, "data_seed": args.seed,
-            "n_train_per_class": args.n_train_per_class,
-            "n_test_per_class": args.n_test_per_class,
-        }
-
-    # graphs and compiled programs are shared across train seeds: graphs
-    # depend only on the data seed + build config; each arm's model/trainer
-    # is built once and re-initialized per seed, so the jitted train/eval
-    # programs compile ONCE per arm for the whole replicate set (the
-    # make-seeds-cheap lever: on the remote-compile TPU tunnel a program is
-    # minutes, a re-init is milliseconds)
-    graph_memo: dict = {}
-    env_memo: dict = {}
-
-    def get_graphs(knn_window):
-        if knn_window not in graph_memo:
-            graph_memo[knn_window] = load_graphs(knn_window)
-        return graph_memo[knn_window]
-
-    def get_env(tag, extra_kwargs, pt, n_train_batches):
-        if tag in env_memo:
-            return env_memo[tag]
-        if args.dropout is not None:
-            extra_kwargs = dict(extra_kwargs, dropout=args.dropout)
-        model = DGDMModel(node_features=extractor.feature_dim,
-                          hidden_dims=hidden, attention_heads=heads,
-                          num_diffusion_steps=steps, graph_layers=4,
-                          num_classes=2, pooling="attention", **extra_kwargs)
-        lr = args.lr or (1e-4 if weights_loaded else 1e-3)
-        tc = dict(learning_rate=lr,
-                  warmup_steps=min(100, n_train_batches),
-                  max_epochs=pt + finetune_epochs,
-                  pretrain_epochs=pt,
-                  steps_per_epoch=n_train_batches)
-        if args.weight_decay is not None:
-            tc["weight_decay"] = args.weight_decay
-        if args.finetune_lr_factor is not None:
-            tc["finetune_lr_factor"] = args.finetune_lr_factor
-        trainer = DGDMTrainer(model, TrainerConfig(**tc), use_mesh=False)
-        fwd = jax.jit(lambda p, gg: model.apply(
-            p, gg, mode="inference",
-            deterministic=True)["classification_logits"])
-        env = {"model": model, "trainer": trainer, "fwd": fwd, "lr": lr}
-        env_memo[tag] = env
-        return env
-
-    def run_variant(tag, extra_kwargs, knn_window, pt_epochs, tseed):
-        """Preprocess + train + evaluate one (graph-build, model) config.
-
-        Returns the metrics dict; stashes the test-set tumor probabilities
-        under ``m["_probs"]`` / labels under ``m["_labels"]`` so variant
-        A/Bs can report PAIRED bootstrap deltas (same resampled slides for
-        both systems) instead of comparing independent CIs.
-        """
-        pt = pretrain_epochs if pt_epochs is None else pt_epochs
-        cfg_fp = arm_config(tag, extra_kwargs, knn_window, pt)
-        # crash-resumable variant cache: a multi-arm run on a 1-core host is
-        # hours long; each finished arm persists its test probs + metrics so
-        # a rerun (or a later invocation adding MORE variants) skips it and
-        # the paired bootstrap deltas still see the same arrays.
-        vsuffix = (f"s{args.seed}" if tseed == args.seed
-                   else f"s{args.seed}t{tseed}")
-        vcache = args.out / f"variant_{tag}_{vsuffix}.npz"
-        if vcache.exists():
-            z = np.load(vcache, allow_pickle=True)
-            m = json.loads(str(z["metrics"]))
-            stored_cfg = m.pop("_arm_config", None)
-            if stored_cfg is not None and stored_cfg != cfg_fp:
-                diff = {k: (stored_cfg.get(k), cfg_fp.get(k))
-                        for k in set(stored_cfg) | set(cfg_fp)
-                        if stored_cfg.get(k) != cfg_fp.get(k)}
-                raise SystemExit(
-                    f"[eval_c16] {vcache} was trained with DIFFERENT "
-                    f"hyperparameters than this invocation (stored vs "
-                    f"requested: {diff}). Resuming would mix configs in one "
-                    f"report — use a different --out or delete the stale "
-                    f"variant cache.")
-            if stored_cfg is None:
-                print(f"[eval_c16] [{tag}] WARNING: {vcache.name} predates "
-                      "config fingerprinting — resuming on trust that it "
-                      "used this invocation's hyperparameters")
-            m["_probs"] = z["probs"]
-            m["_labels"] = z["labels"]
-            if "probs_int8" in z.files:
-                m["_probs_int8"] = z["probs_int8"]
-            print(f"[eval_c16] [{tag}] resumed from {vcache} "
-                  f"(auc={m.get('auc')})")
-            return m
-        train_graphs, test_graphs = get_graphs(knn_window)
-        rng = np.random.RandomState(tseed)
-        order = rng.permutation(len(train_items))
-        n_val = max(1, len(order) // 5)
-        val_idx, tr_idx = order[:n_val], order[n_val:]
-        # epoch-reshuffled training batches (reference DataLoader(shuffle=
-        # True), data/datamodule.py:173-197); val/test stay fixed
-        from dgdm_histopath_tpu.data.datamodule import BucketedLoader
-        train_loader = BucketedLoader([train_graphs[i] for i in tr_idx],
-                                      args.batch_size, shuffle=True,
-                                      seed=tseed)
-        n_train_batches = len(train_loader)
-        val_batches = as_batches(train_graphs, val_idx, args.batch_size)
-        env = get_env(tag, extra_kwargs, pt, n_train_batches)
-        model, trainer = env["model"], env["trainer"]
-        trainer.current_epoch = 0   # re-entry for the next seed replicate
-        trainer.history = []
-        example = batch_graphs(
-            [train_graphs[i] for i in tr_idx[:args.batch_size]])
-        trainer.init_state(jrandom.PRNGKey(tseed), example)
-        print(f"[eval_c16] [{tag}] t{tseed} finetuning {args.config}: "
-              f"{pt} pretrain + {finetune_epochs} finetune "
-              f"epochs x {n_train_batches} steps, lr={env['lr']}", flush=True)
-        fit = trainer.fit(train_loader, val_batches,
-                          max_epochs=pt + finetune_epochs,
-                          early_stopping_patience=(
-                              10**9 if args.selection == "final"
-                              else max(10, finetune_epochs // 3)),
-                          restore_best_params=args.selection != "final")
-        probs, labels = [], []
-        for j in range(0, len(test_graphs), args.batch_size):
-            chunk = test_graphs[j:j + args.batch_size]
-            if len(chunk) < args.batch_size:  # pad to the compiled shape
-                batch = batch_graphs(chunk + [chunk[-1]] *
-                                     (args.batch_size - len(chunk)))
-            else:
-                batch = batch_graphs(chunk)
-            logits = np.asarray(env["fwd"](trainer.state.params, batch),
-                                np.float64)[:len(chunk)]
-            p = np.exp(logits - logits.max(-1, keepdims=True))
-            probs.append(p / p.sum(-1, keepdims=True))
-            labels.extend(int(g.y) for g in chunk)
-        m = compute_classification_metrics(
-            np.asarray(labels), np.concatenate(probs, axis=0))
-        m["best_val_loss"] = fit["best_val_loss"]
-        m["_probs"] = np.concatenate(probs, axis=0)[:, 1]
-        m["_labels"] = np.asarray(labels)
-        print(f"[eval_c16] [{tag}] t{tseed} auc={m.get('auc')} "
-              f"f1={m.get('f1')}", flush=True)
-        if args.ab_int8 and tag == "dense":
-            # same finetuned params, Dense layers on the int8 MXU path —
-            # the end-task accuracy gate for the quantized serving path
-            # (dense arm only: the report pairs int8 against the primary)
-            if "fwd8" not in env:
-                from dgdm_histopath_tpu.models.quantized import int8_apply
-                env["fwd8"] = jax.jit(lambda p, gg: int8_apply(
-                    model, p, gg, mode="inference",
-                    deterministic=True)["classification_logits"])
-            probs8 = []
-            for j in range(0, len(test_graphs), args.batch_size):
-                chunk = test_graphs[j:j + args.batch_size]
-                if len(chunk) < args.batch_size:
-                    batch = batch_graphs(chunk + [chunk[-1]] *
-                                         (args.batch_size - len(chunk)))
-                else:
-                    batch = batch_graphs(chunk)
-                logits = np.asarray(
-                    env["fwd8"](trainer.state.params, batch),
-                    np.float64)[:len(chunk)]
-                p = np.exp(logits - logits.max(-1, keepdims=True))
-                probs8.append(p / p.sum(-1, keepdims=True))
-            m8 = compute_classification_metrics(
-                np.asarray(labels), np.concatenate(probs8, axis=0))
-            m["auc_int8"] = m8.get("auc")
-            m["f1_int8"] = m8.get("f1")
-            m["int8_auc_delta"] = (None if m.get("auc") is None
-                                   else round(m8["auc"] - m["auc"], 4))
-            m["_probs_int8"] = np.concatenate(probs8, axis=0)[:, 1]
-            print(f"[eval_c16] [{tag}] t{tseed} int8: auc={m8.get('auc')} "
-                  f"f1={m8.get('f1')} delta={m['int8_auc_delta']}")
-        arrays = {"probs": m["_probs"], "labels": m["_labels"]}
-        if m.get("_probs_int8") is not None:
-            arrays["probs_int8"] = m["_probs_int8"]
-        payload = {k: v for k, v in m.items() if not k.startswith("_")}
-        payload["_arm_config"] = cfg_fp
-        np.savez(vcache, metrics=json.dumps(payload, default=float), **arrays)
-        return m
-
-    target = REFERENCE_TARGETS[args.config]
-    from dgdm_histopath_tpu.evaluation.metrics import (
-        _roc_auc, bootstrap_ci, paired_bootstrap_delta,
-    )
-
-    def build_report(results, tseed):
-        primary_tag = variants[0][0]
-        metrics = results[primary_tag]
-        labels_t = metrics["_labels"]
-        auc_ci = bootstrap_ci(_roc_auc, labels_t, metrics["_probs"],
-                              n_bootstrap=2000)
-        report = {
-            "dataset": ("camelyon16-synthetic-hard" if args.hard
-                        else "camelyon16-synthetic-standin") if args.synthetic
-                       else "camelyon16",
-            "config": args.config,
-            "hidden_dims": list(hidden),
-            "per_slide_norm": args.per_slide_norm,
-            "selection": args.selection,
-            "seed": args.seed,
-            "train_seed": tseed,
-            "extractor": arch,
-            "vit_weights": str(args.vit_weights) if args.vit_weights else None,
-            "backbone_pretrained": weights_loaded,
-            "n_train": len(train_items), "n_test": len(test_items),
-            "bucket": bucket, "max_patches": max_patches,
-            "auc": metrics.get("auc"), "f1": metrics.get("f1"),
-            "auc_ci95": [round(auc_ci["lower"], 4), round(auc_ci["upper"], 4)],
-            "accuracy": metrics.get("accuracy"),
-            "auc_int8": metrics.get("auc_int8"),
-            "int8_auc_delta": metrics.get("int8_auc_delta"),
-            "reference_target": target,
-            "auc_delta_vs_reference": (None if metrics.get("auc") is None
-                                       else round(metrics["auc"]
-                                                  - target["auc"], 4)),
-            "parity_valid": weights_loaded and not args.synthetic,
-            "preprocess_s_per_slide": round(
-                prep_stats["s"] / max(prep_stats["n"], 1), 2),
-            "best_val_loss": metrics["best_val_loss"],
-            "wall_s": round(time.time() - t_start, 1),
-            "device": str(jax.devices()[0]),
-        }
-        if len(results) > 1:
-            report["variants"] = {
-                t: {k: r.get(k) for k in ("auc", "f1", "accuracy",
-                                          "best_val_loss")}
-                for t, r in results.items()}
-            # paired bootstrap deltas vs the primary variant: both systems
-            # are evaluated on the SAME resampled slide sets, so between-
-            # slide variance cancels and the CI reflects only their
-            # disagreement
-            for vtag, _, _, _ in variants[1:]:
-                r = results[vtag]
-                if r.get("auc") is None or metrics.get("auc") is None:
-                    continue
-                if vtag == "scratch":
-                    d = paired_bootstrap_delta(
-                        _roc_auc, labels_t, r["_probs"], metrics["_probs"])
-                    report["pretrain_auc_uplift"] = {
-                        "delta": round(d["delta"], 4),
-                        "ci95": [round(d["lower"], 4), round(d["upper"], 4)]}
-                else:
-                    d = paired_bootstrap_delta(_roc_auc, labels_t,
-                                               metrics["_probs"], r["_probs"])
-                    key = ("window_auc_delta_vs_dense"
-                           if windows and vtag == f"window{windows[0]}"
-                           else f"{vtag}_auc_delta_vs_dense")
-                    report[key] = round(r["auc"] - metrics["auc"], 4)
-                    report[key + "_ci95"] = [round(d["lower"], 4),
-                                             round(d["upper"], 4)]
-        if args.ab_int8 and metrics.get("_probs_int8") is not None:
-            d = paired_bootstrap_delta(_roc_auc, labels_t, metrics["_probs"],
-                                       metrics["_probs_int8"])
-            report["int8_auc_delta_ci95"] = [round(d["lower"], 4),
-                                             round(d["upper"], 4)]
-        return report
-
-    report = None
-    for tseed in tseeds:
-        results = {tag: run_variant(tag, kw, knnw, pt, tseed)
-                   for tag, kw, knnw, pt in variants}
-        report = build_report(results, tseed)
-        name = args.report_name
-        if tseed != args.seed:
-            stem, dot, ext = name.partition(".")
-            name = f"{stem}_t{tseed}{dot}{ext}"
-        out_path = args.out / name
-        out_path.write_text(json.dumps(report, indent=2))
-        print(json.dumps(report, indent=2))
-        print(f"[eval_c16] report -> {out_path}", flush=True)
-    if len(tseeds) > 1:
-        # refresh the pooled multi-seed report over EVERY arm npz in --out
-        # (including replicates from earlier invocations)
-        try:
-            import aggregate_hard_seeds
-            aggregate_hard_seeds.main(["--dir", str(args.out)])
-        except SystemExit as e:
-            print(f"[eval_c16] pooled aggregation skipped: {e}")
-    if not report["parity_valid"]:
-        print("[eval_c16] NOTE: this run does NOT establish reference parity "
-              "(synthetic data and/or random-init backbone). Drop in the two "
-              "artifacts from the module docstring and rerun.")
-    return report
+    # variants x training seeds run through the shared harness
+    # (scripts/gate_harness.py): per-arm crash-resume npz cache, per-seed
+    # reports, pooled multi-seed aggregation, in-process program reuse
+    from gate_harness import GateSpec, run_gate
+    spec = GateSpec(
+        train_items=train_items, test_items=test_items, num_classes=2,
+        extractor=extractor, arch=arch, weights_loaded=weights_loaded,
+        processor=processor, hidden=hidden, heads=heads, steps=steps,
+        bucket=bucket, max_patches=max_patches, patch_size=patch_size,
+        pretrain_epochs=pretrain_epochs, finetune_epochs=finetune_epochs,
+        dataset_name=(("camelyon16-synthetic-hard" if args.hard
+                       else "camelyon16-synthetic-standin") if args.synthetic
+                      else "camelyon16"),
+        reference_target=REFERENCE_TARGETS[args.config],
+        default_arch="simple_cnn" if args.synthetic else "dinov2",
+        t_start=t_start)
+    return run_gate(args, ap, spec)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,29 @@ class TestMetrics:
         assert 0.0 <= m["auc"] <= 1.0
         assert np.asarray(m["confusion_matrix"]).shape == (3, 3)
 
+    def test_macro_ovr_auc_matches_sklearn(self):
+        from sklearn.metrics import roc_auc_score
+        from dgdm_histopath_tpu.evaluation.metrics import macro_ovr_auc
+        rs = np.random.RandomState(5)
+        labels = rs.randint(0, 4, 160)
+        logits = rs.randn(160, 4) + 1.5 * np.eye(4)[labels]
+        probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        ours = macro_ovr_auc(labels, probs)
+        ref = roc_auc_score(labels, probs, multi_class="ovr",
+                            average="macro")
+        assert ours == pytest.approx(ref, abs=1e-9)
+        # degenerate class absent from labels is skipped, not NaN-poisoning
+        labels3 = labels.copy()
+        labels3[labels3 == 3] = 0
+        assert np.isfinite(macro_ovr_auc(labels3, probs))
+        # usable as a bootstrap metric_fn over [N, C] scores
+        from dgdm_histopath_tpu.evaluation.metrics import (
+            paired_bootstrap_delta)
+        d = paired_bootstrap_delta(macro_ovr_auc, labels, probs,
+                                   np.roll(probs, 1, axis=0),
+                                   n_bootstrap=50)
+        assert np.isfinite(d["delta"])
+
     def test_quadratic_weighted_kappa(self):
         from sklearn.metrics import cohen_kappa_score
         from dgdm_histopath_tpu.evaluation.metrics import (
