@@ -52,21 +52,29 @@ PRESETS = {
 #   * throughput — combined windowed (W=64 Base / W=128 Large) is 1.23x / 2.76x
 #     paired on hardware (ADR-0004 add.9/10); at N>=2048 the dense N^2
 #     spatial pass dominates the step and windowed is strictly faster.
-#   * accuracy — on the CALIBRATED hard benchmark (n_test=128, oracle 0.92,
-#     chance 0.5 — docs/results/c16_hard) the windowed-vs-dense paired AUC
-#     delta is SEED-UNSTABLE at the single-seed level (train seed 0: +0.168;
-#     seed 1: −0.199 — each CI excludes zero in opposite directions), so no
-#     single seed is evidence of anything. The gate is the pooled multi-seed
-#     delta with a seed-resampling (two-level) bootstrap
-#     (docs/results/c16_hard/report_pooled.json). At 5 training seeds per
-#     arm (2026-08-20): window32 +0.064 [−0.079, +0.183] (4/5 seeds
-#     positive; arm means 0.754 vs dense 0.690) and the shipped-ratio
-#     window16 (=128/2048) +0.089 [−0.054, +0.231] — accuracy
-#     NEUTRAL-TO-POSITIVE, never pooled-negative. The default stands on
-#     throughput + pooled neutrality; a pooled negative that excludes zero
-#     would revert it (VERDICT r4 #1). window8 (below lesion scale) remains
-#     the measured failure mode (−0.17 pooled) — don't shrink the window
-#     below the task's feature scale.
+#   * accuracy — single-seed deltas are NOT evidence (train seed 0
+#     measured +0.168, seed 1 −0.199 for the same A/B, each CI excluding
+#     zero in opposite directions); the gate is the pooled multi-seed delta
+#     with a seed-resampling bootstrap
+#     (docs/results/c16_hard*/report_pooled.json, ADR-0006). Two pooled
+#     findings back the default:
+#       - bucket-256 gate, 5-10 seeds/arm: window32 +0.064, window16
+#         +0.089 (both CIs straddle zero). CAVEAT discovered round 5: that
+#         gate's graphs hold only ~29 REAL nodes, so windows >= 16 never
+#         BIND (all real nodes fit inside the ±1-block band — the arm is
+#         semantically ~= dense and its delta is training noise). Useful as
+#         "windowed machinery costs nothing when it does not bind", not as
+#         semantics evidence.
+#       - the BINDING gate (docs/results/c16_hard_n1024: 2048px slides,
+#         patch 32, bucket 1024, ~450 real nodes; window32 spans ~14 Morton
+#         blocks — the shipped 2048/128 geometry spans 16) is the
+#         semantics-bearing accuracy evidence; see its report_pooled.json.
+#     The default stands while the BINDING pooled delta is
+#     neutral-or-positive; a pooled negative that excludes zero reverts it
+#     (VERDICT r4 #1). window8 at the 256-gate — the one arm that DID bind
+#     there (29/8 ≈ 3.6 blocks) — measured −0.17 pooled: far below the
+#     shipped 1/16 window/N ratio, it cuts most real adjacency; don't
+#     shrink windows below the task's feature scale.
 #   * at N<=1024 (Base bucket) dense stays the default: the window lever
 #     pays 1.23x there but windowed attention is an approximation of the
 #     all-pairs reference semantics, and the bucket fits comfortably.

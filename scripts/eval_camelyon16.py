@@ -218,6 +218,11 @@ def main(argv=None):
                          "--synthetic task saturates at AUC 1.0")
     ap.add_argument("--n-train-per-class", type=int, default=32)
     ap.add_argument("--n-test-per-class", type=int, default=64)
+    ap.add_argument("--slide-size", type=int, default=None,
+                    help="synthetic slide edge in px (default 1024 hard / "
+                         "2048 easy). The bucket-1024 shipped-ratio gate "
+                         "uses 2048px slides so ~1024 patches of tissue "
+                         "exist at patch 64")
     ap.add_argument("--ab-pretrain", action="store_true",
                     help="ALSO train a from-scratch variant (0 pretrain "
                          "epochs, same finetune budget) next to the "
@@ -362,9 +367,11 @@ def main(argv=None):
         if args.hard:
             generate_synthetic_camelyon16_hard(
                 data_root, n_train_per_class=args.n_train_per_class,
-                n_test_per_class=args.n_test_per_class, seed=args.seed)
+                n_test_per_class=args.n_test_per_class, seed=args.seed,
+                size=args.slide_size or 1024)
         else:
-            generate_synthetic_camelyon16(data_root)
+            generate_synthetic_camelyon16(data_root,
+                                          size=args.slide_size or 2048)
         bucket = args.bucket or 256
         max_patches = args.max_patches or 256
         patch_size = args.patch_size or 64

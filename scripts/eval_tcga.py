@@ -197,6 +197,11 @@ def main(argv=None):
                     help="synthetic only (default: 8 easy / 24 hard)")
     ap.add_argument("--n-test-per-class", type=int, default=None,
                     help="synthetic only (default: 4 easy / 32 hard)")
+    ap.add_argument("--slide-size", type=int, default=None,
+                    help="synthetic slide edge in px (default 2048 easy / "
+                         "1024 hard; the BINDING window gate uses 2048px "
+                         "with --patch-size 32 --bucket 1024 so ~450 real "
+                         "nodes span 14+ Morton blocks)")
     ap.add_argument("--test-frac", type=float, default=0.25,
                     help="real-data holdout fraction (synthetic uses the "
                          "generated test_split.txt)")
@@ -281,11 +286,13 @@ def main(argv=None):
         if hard:
             generate_synthetic_tcga_hard(
                 data_root, n_train_per_class=args.n_train_per_class,
-                n_test_per_class=args.n_test_per_class, seed=args.seed)
+                n_test_per_class=args.n_test_per_class, seed=args.seed,
+                size=args.slide_size or 1024)
         else:
             generate_synthetic_tcga(data_root,
                                     n_train_per_class=args.n_train_per_class,
-                                    n_test_per_class=args.n_test_per_class)
+                                    n_test_per_class=args.n_test_per_class,
+                                    size=args.slide_size or 2048)
         bucket = args.bucket or 256
         max_patches = args.max_patches or 256
         patch_size = args.patch_size or 64

@@ -152,6 +152,11 @@ def run_gate(args, ap, spec: GateSpec):
             tag += "_" + spec.arch.replace("+", "-")
         if args.per_slide_norm:              # distinct features -> cache
             tag += "_psn"
+        if spec.patch_size != 64:            # distinct patch grid -> cache
+            tag += f"_p{spec.patch_size}"    # (64 = synthetic default,
+            # kept suffix-free for round-4 cache compatibility)
+        if spec.max_patches != spec.bucket:  # distinct subsample cap
+            tag += f"_mp{spec.max_patches}"
         print(f"[{script}] preprocessing slides -> graphs "
               f"(bucket={spec.bucket}, knn_window={knn_window}, "
               f"cache={cache_dir})", flush=True)
@@ -162,6 +167,15 @@ def run_gate(args, ap, spec: GateSpec):
                              spec.bucket, tag) for p, y in spec.test_items]
         prep_stats["s"] += time.time() - t0
         prep_stats["n"] += n_slides
+        import jax.numpy as jnp
+        counts = np.asarray(jnp.stack(
+            [g.node_mask.sum() for g in tr + te]))
+        real_node_stats[knn_window] = {
+            "mean": round(float(counts.mean()), 1),
+            "min": int(counts.min()), "max": int(counts.max())}
+        print(f"[{script}] real nodes per graph (bucket {spec.bucket}): "
+              f"mean {counts.mean():.0f}, min {counts.min()}, "
+              f"max {counts.max()}", flush=True)
         return tr, te
 
     def as_batches(graphs, idxs, bs):
@@ -194,6 +208,7 @@ def run_gate(args, ap, spec: GateSpec):
     # docstring — the make-seeds-cheap lever)
     graph_memo: dict = {}
     env_memo: dict = {}
+    real_node_stats: dict = {}
 
     def get_graphs(knn_window):
         if knn_window not in graph_memo:
@@ -388,6 +403,24 @@ def run_gate(args, ap, spec: GateSpec):
             "device": str(jax.devices()[0]),
         }
         report.update(spec.report_extra)
+        if real_node_stats:
+            report["real_nodes"] = (real_node_stats.get(None)
+                                    or next(iter(real_node_stats.values())))
+        # window-binding diagnostic: a ±1-block band constrains real-node
+        # pairs only when the real nodes span >= 3 Morton blocks; below
+        # that, every real pair is in-band, the windowed arm is
+        # semantically ~= dense, and its paired delta measures TRAINING
+        # NOISE, not windowed semantics (round-5 finding: the bucket-256
+        # gate's ~29-real-node graphs never bind windows >= 16)
+        wb = {}
+        for vtag, _kw, knnw, _pt in variants:
+            stats = real_node_stats.get(knnw)
+            if knnw and stats:
+                blocks = stats["mean"] / knnw
+                wb[vtag] = {"blocks_spanned_mean": round(blocks, 1),
+                            "binds": bool(blocks >= 3)}
+        if wb:
+            report["window_binding"] = wb
         if len(results) > 1:
             report["variants"] = {
                 t: {k: r.get(k) for k in ("auc", "f1", "accuracy",
