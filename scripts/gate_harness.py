@@ -161,15 +161,42 @@ def run_gate(args, ap, spec: GateSpec):
               f"(bucket={spec.bucket}, knn_window={knn_window}, "
               f"cache={cache_dir})", flush=True)
         t0 = time.time()
-        tr = [slide_to_graph(p, y, spec.processor, builder, cache_dir,
-                             spec.bucket, tag) for p, y in spec.train_items]
-        te = [slide_to_graph(p, y, spec.processor, builder, cache_dir,
-                             spec.bucket, tag) for p, y in spec.test_items]
+
+        def fetch(items):
+            """Build-or-load each slide's cache, then upload the whole set
+            as ONE stacked device array per field. Per-graph jnp.asarray
+            costs one tunnel RPC per array (7 x n_slides round-trips —
+            measured ~20+ min per config at bucket 1024); batching makes
+            it 7 transfers total, with per-graph rows as device slices."""
+            import jax.numpy as jnp
+            from dgdm_histopath_tpu.ops.graph import PaddedGraph
+            raws, labels = [], []
+            for p, y in items:
+                cache = cache_dir / f"{p.stem}_b{spec.bucket}{tag}.npz"
+                if not cache.exists():
+                    slide_to_graph(p, y, spec.processor, builder, cache_dir,
+                                   spec.bucket, tag)
+                with np.load(cache) as z:
+                    raws.append({k: z[k] for k in
+                                 ("x", "pos", "nbr_idx", "nbr_mask",
+                                  "edge_attr", "node_mask")})
+                labels.append(y)
+            fields = {k: jnp.asarray(np.stack([r[k] for r in raws]))
+                      for k in raws[0]}
+            ys = jnp.asarray(np.asarray(labels, np.int32))
+            return [PaddedGraph(x=fields["x"][i], pos=fields["pos"][i],
+                                nbr_idx=fields["nbr_idx"][i],
+                                nbr_mask=fields["nbr_mask"][i],
+                                edge_attr=fields["edge_attr"][i],
+                                node_mask=fields["node_mask"][i],
+                                y=ys[i])
+                    for i in range(len(raws))], raws
+
+        tr, raw_tr = fetch(spec.train_items)
+        te, raw_te = fetch(spec.test_items)
         prep_stats["s"] += time.time() - t0
         prep_stats["n"] += n_slides
-        import jax.numpy as jnp
-        counts = np.asarray(jnp.stack(
-            [g.node_mask.sum() for g in tr + te]))
+        counts = np.asarray([r["node_mask"].sum() for r in raw_tr + raw_te])
         real_node_stats[knn_window] = {
             "mean": round(float(counts.mean()), 1),
             "min": int(counts.min()), "max": int(counts.max())}
