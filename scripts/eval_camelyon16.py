@@ -333,6 +333,12 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (the axon sitecustomize pins the TPU "
                          "backend; staging runs should not hog the tunnel)")
+    ap.add_argument("--prep-only", action="store_true",
+                    help="generate data + build the graph caches for every "
+                         "scheduled graph-build config, then exit without "
+                         "training — run with --cpu to pre-pay the host-"
+                         "bound preprocessing so a later TPU gate run "
+                         "starts at warm cache")
     args = ap.parse_args(argv)
 
     import jax

@@ -231,6 +231,9 @@ def main(argv=None):
                     help="training-seed replicate list — see "
                          "eval_camelyon16 --train-seed")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prep-only", action="store_true",
+                    help="build the graph caches then exit (see "
+                         "eval_camelyon16.py --prep-only)")
     args = ap.parse_args(argv)
 
     import jax

@@ -485,6 +485,18 @@ def run_gate(args, ap, spec: GateSpec):
                                              round(d["upper"], 4)]
         return report
 
+    if getattr(args, "prep_only", False):
+        # build-or-refresh every graph-build config's cache, then exit:
+        # lets a CPU process pre-pay the host-bound preprocessing while the
+        # TPU tunnel stays free, so the subsequent TPU gate run starts at
+        # warm cache (the npz cache is backend-independent)
+        for knnw in dict.fromkeys(knnw for _, _, knnw, _ in variants):
+            get_graphs(knnw)
+        print(f"[{script}] --prep-only: graph caches ready under "
+              f"{cache_dir} ({prep_stats['n']} slide-configs, "
+              f"{prep_stats['s']:.0f}s)", flush=True)
+        return None
+
     report = None
     for tseed in tseeds:
         results = {tag: run_variant(tag, kw, knnw, pt, tseed)
