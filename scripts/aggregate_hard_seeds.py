@@ -160,6 +160,24 @@ def main(argv=None):
         report[key] = pooled_entry([a[s]["probs"] for s in common],
                                    [b[s]["probs"] for s in common], common)
 
+    # propagate the window-binding diagnostic from the per-seed reports so
+    # the pooled artifact is self-describing: a non-binding window arm's
+    # delta is training noise, not windowed-semantics evidence (round-5
+    # finding — the bucket-256 gate's ~29-real-node graphs never bind
+    # windows >= 16)
+    for rp in sorted(args.dir.glob("report_*.json")):
+        if rp.name == args.report:
+            continue
+        try:
+            seed_report = json.loads(rp.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "window_binding" in seed_report:
+            report["window_binding"] = seed_report["window_binding"]
+            if "real_nodes" in seed_report:
+                report["real_nodes"] = seed_report["real_nodes"]
+            break
+
     dense = arms.get("dense", {})
     int8_seeds = sorted(s for s, r in dense.items() if "probs_int8" in r)
     if int8_seeds:
