@@ -58,23 +58,28 @@ PRESETS = {
 #     with a seed-resampling bootstrap
 #     (docs/results/c16_hard*/report_pooled.json, ADR-0006). Two pooled
 #     findings back the default:
-#       - bucket-256 gate, 5-10 seeds/arm: window32 +0.064, window16
-#         +0.089 (both CIs straddle zero). CAVEAT discovered round 5: that
-#         gate's graphs hold only ~29 REAL nodes, so windows >= 16 never
-#         BIND (all real nodes fit inside the ±1-block band — the arm is
-#         semantically ~= dense and its delta is training noise). Useful as
-#         "windowed machinery costs nothing when it does not bind", not as
-#         semantics evidence.
 #       - the BINDING gate (docs/results/c16_hard_n1024: 2048px slides,
-#         patch 32, bucket 1024, ~450 real nodes; window32 spans ~14 Morton
-#         blocks — the shipped 2048/128 geometry spans 16) is the
-#         semantics-bearing accuracy evidence; see its report_pooled.json.
+#         patch 32, bucket 1024; MEASURED mean 417 real nodes, window32 =
+#         13.0 Morton blocks — the shipped 2048/128 geometry spans 16) is
+#         the semantics-bearing accuracy evidence: pooled window delta
+#         +0.041 [-0.047, +0.131] over 10 training seeds —
+#         neutral-to-positive where the band genuinely constrains compute.
+#       - bucket-256 gate, 10 seeds/arm: window32 +0.022, window16 +0.020
+#         (CIs straddle zero). CAVEAT: that gate's graphs hold only ~29
+#         REAL nodes, so windows >= 16 never BIND (all real nodes fit
+#         inside the ±1-block band — the arm is semantically ~= dense).
+#         Useful as "windowed machinery costs nothing when it does not
+#         bind", not as semantics evidence.
 #     The default stands while the BINDING pooled delta is
-#     neutral-or-positive; a pooled negative that excludes zero reverts it
-#     (VERDICT r4 #1). window8 at the 256-gate — the one arm that DID bind
-#     there (29/8 ≈ 3.6 blocks) — measured −0.17 pooled: far below the
-#     shipped 1/16 window/N ratio, it cuts most real adjacency; don't
-#     shrink windows below the task's feature scale.
+#     neutral-or-positive; a pooled negative whose TWO-LEVEL CI excludes
+#     zero reverts it (VERDICT r4 #1). The binding gate's own k=5 interim
+#     (-0.038, fixed-seed CI < 0) REVERSED at k=10 (+0.041, fixed-seed
+#     CI > 0) — fixed-seed intervals "settle" in both directions on the
+#     same data; only the two-level interval is the decision statistic.
+#     window8 at the 256-gate — the one arm that DID bind there (29/8 ≈
+#     3.6 blocks) — measured −0.17 pooled: far below the shipped 1/16
+#     window/N ratio, it cuts most real adjacency; don't shrink windows
+#     below the task's feature scale.
 #   * at N<=1024 (Base bucket) dense stays the default: the window lever
 #     pays 1.23x there but windowed attention is an approximation of the
 #     all-pairs reference semantics, and the bucket fits comfortably.
