@@ -227,8 +227,19 @@ class TestMetrics:
         write("window32", "s0t1", uplift=0.08)
         write("scratch", "s0", uplift=-0.05)
 
+        # a per-seed report with the window-binding diagnostic: the pooled
+        # artifact must carry it forward (a non-binding arm's delta is
+        # training noise, and the pooled report is what the docs cite)
+        (tmp_path / "report_hard.json").write_text(json.dumps({
+            "auc": 0.7,
+            "window_binding": {"window32": {"blocks_spanned_mean": 0.9,
+                                            "binds": False}},
+            "real_nodes": {"mean": 29.0, "min": 18, "max": 40}}))
+
         report = agg_main(["--dir", str(tmp_path), "--n-bootstrap", "100"])
         assert set(report["arms"]) == {"dense", "window32", "scratch"}
+        assert report["window_binding"]["window32"]["binds"] is False
+        assert report["real_nodes"]["mean"] == 29.0
         assert report["arms"]["dense"]["train_seeds"] == [0, 1]
         win = report["window_auc_delta_vs_dense"]
         assert win["train_seeds"] == [0, 1] and len(win["per_seed"]) == 2
