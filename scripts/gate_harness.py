@@ -507,6 +507,20 @@ def run_gate(args, ap, spec: GateSpec):
             stem, dot, ext = name.partition(".")
             name = f"{stem}_t{tseed}{dot}{ext}"
         out_path = args.out / name
+        if out_path.exists():
+            # resumed arms skip graph loading, so this run may not have
+            # recomputed every arm's window_binding/real_nodes — merge the
+            # previous report's entries rather than dropping them
+            try:
+                old = json.loads(out_path.read_text())
+            except (OSError, json.JSONDecodeError):
+                old = {}
+            merged = {**(old.get("window_binding") or {}),
+                      **(report.get("window_binding") or {})}
+            if merged:
+                report["window_binding"] = merged
+            if "real_nodes" not in report and "real_nodes" in old:
+                report["real_nodes"] = old["real_nodes"]
         out_path.write_text(json.dumps(report, indent=2))
         print(json.dumps(report, indent=2))
         print(f"[{script}] report -> {out_path}", flush=True)
