@@ -77,9 +77,11 @@ PRESETS = {
 #     CI > 0) — fixed-seed intervals "settle" in both directions on the
 #     same data; only the two-level interval is the decision statistic.
 #     window8 at the 256-gate — the one arm that DID bind there (29/8 ≈
-#     3.6 blocks) — measured −0.17 pooled: far below the shipped 1/16
-#     window/N ratio, it cuts most real adjacency; don't shrink windows
-#     below the task's feature scale.
+#     3.7 blocks) — pools to −0.059 over 5 seeds (fixed-seed CI < 0; only
+#     −0.017 on the TCGA ordinal task): far below the shipped 1/16
+#     window/N ratio it cuts most real adjacency, a real but
+#     task-dependent cost; don't shrink windows below the task's feature
+#     scale.
 #   * at N<=1024 (Base bucket) dense stays the default: the window lever
 #     pays 1.23x there but windowed attention is an approximation of the
 #     all-pairs reference semantics, and the bucket fits comfortably.
