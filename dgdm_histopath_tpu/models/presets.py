@@ -85,6 +85,12 @@ PRESETS = {
 #   * at N<=1024 (Base bucket) dense stays the default: the window lever
 #     pays 1.23x there but windowed attention is an approximation of the
 #     all-pairs reference semantics, and the bucket fits comfortably.
+#     NOTE (round 5): the binding gate IS a bucket-1024 geometry, so its
+#     neutral-to-positive pooled delta is also the first semantics
+#     evidence that a windowed Base default would be accuracy-safe; dense
+#     is retained at <=1024 as a reference-parity-by-default choice (the
+#     1.23x is available via spatial_window=graph_window=64 opt-in), not
+#     for lack of evidence.
 #
 # Policy: buckets >= WINDOWED_DEFAULT_MIN_NODES get spatial_window =
 # graph_window = DEFAULT_WINDOW (graphs must be built with
