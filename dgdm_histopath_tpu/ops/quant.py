@@ -6,7 +6,9 @@ path is speed-neutral-to-negative (0.995× DGDM inference, 0.775× ViT
 featurize — paired hardware A/Bs, ADR-0004 add.13): ``dot_general`` with
 int8 operands does not reach the native int8 rate here and the dynamic
 activation-quant VPU work nets negative. The path is accuracy-safe
-(feature/logit cosine ≥0.9998, staged-loop AUC delta 0.0) and shipped as
+(feature/logit cosine ≥0.9998; pooled hard-gate AUC deltas +0.0001 ±
+0.0014 binary / +0.0001 ± 0.0006 TCGA 4-subtype at 10 seeds each —
+``docs/results/*/report_pooled.json``) and shipped as
 an opt-in memory/storage tier; the A/Bs re-run unchanged if a future
 toolchain maps the fast path. The reference's
 edge-deployment path quantizes weights for *storage* only and dequantizes
