@@ -62,8 +62,8 @@ PRESETS = {
 #         patch 32, bucket 1024; MEASURED mean 417 real nodes, window32 =
 #         13.0 Morton blocks — the shipped 2048/128 geometry spans 16) is
 #         the semantics-bearing accuracy evidence: pooled window delta
-#         +0.009 [-0.054, +0.076] over 15 training seeds — NEUTRAL where
-#         the band genuinely constrains compute.
+#         +0.036 [-0.028, +0.102] over 20 training seeds — neutral-to-
+#         positive where the band genuinely constrains compute.
 #       - bucket-256 gate, 10 seeds/arm: window32 +0.022, window16 +0.020
 #         (CIs straddle zero). CAVEAT: that gate's graphs hold only ~29
 #         REAL nodes, so windows >= 16 never BIND (all real nodes fit
@@ -74,9 +74,9 @@ PRESETS = {
 #     neutral-or-positive; a pooled negative whose TWO-LEVEL CI excludes
 #     zero reverts it (VERDICT r4 #1). The binding gate's own trajectory
 #     — k=5 -0.038 (fixed-seed CI < 0), k=10 +0.041 (fixed-seed CI > 0),
-#     k=15 +0.009 — shows fixed-seed intervals "settling" in OPPOSITE
-#     directions on the same experiment before converging on neutral;
-#     only the two-level interval is the decision statistic.
+#     k=15 +0.009, k=20 +0.036 — shows fixed-seed intervals "settling"
+#     in OPPOSITE directions on the same experiment; only the two-level
+#     interval is the decision statistic.
 #     window8 at the 256-gate — the one arm that DID bind there (29/8 ≈
 #     3.7 blocks) — pools to −0.059 over 5 seeds (fixed-seed CI < 0; only
 #     −0.017 on the TCGA ordinal task): far below the shipped 1/16
