@@ -7,7 +7,7 @@ featurize — paired hardware A/Bs, ADR-0004 add.13): ``dot_general`` with
 int8 operands does not reach the native int8 rate here and the dynamic
 activation-quant VPU work nets negative. The path is accuracy-safe
 (feature/logit cosine ≥0.9998; pooled hard-gate AUC deltas +0.0001 ±
-0.0014 binary / +0.0001 ± 0.0006 TCGA 4-subtype at 10 seeds each —
+0.0014 binary at 10 seeds / +0.0000 ± 0.0016 TCGA 4-subtype at 20 —
 ``docs/results/*/report_pooled.json``) and shipped as
 an opt-in memory/storage tier; the A/Bs re-run unchanged if a future
 toolchain maps the fast path. The reference's
